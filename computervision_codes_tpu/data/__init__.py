@@ -1,0 +1,17 @@
+from . import bank
+from .feature_store import FeatureStore, artifact_name, video_key
+from .labels import VideoLabels, load_video_labels
+from .splits import Split, crossval_folds, resolve_split, video_name
+
+__all__ = [
+    "bank",
+    "FeatureStore",
+    "artifact_name",
+    "video_key",
+    "VideoLabels",
+    "load_video_labels",
+    "Split",
+    "crossval_folds",
+    "resolve_split",
+    "video_name",
+]
