@@ -1,0 +1,176 @@
+"""ResNet-18/34/50/101 backbones (torchvision-compatible architecture).
+
+The reference builds its spatial students/teachers on torchvision ResNets
+(MT4MTLKD/Spatial_cnn/network.py:95-118 with forward-hook feature taps;
+Spatial_transformer/models/backbone.py:107-156 with FrozenBatchNorm).
+Here the taps are explicit return values — the module returns every stage
+output plus the pooled feature, no hooks.
+
+Architecture parity notes (torchvision):
+  * stem: 7x7/2 conv (64) -> BN -> ReLU -> 3x3/2 max-pool (pad 1)
+  * stages: BasicBlock x2 per stage (r18), Bottleneck (r50); stride 2 on the
+    first block of stages 2-4 with a 1x1 conv+BN downsample shortcut
+  * BN eps 1e-5, momentum 0.1 (flax momentum = 0.9)
+  * optional ``frozen_bn`` turns BatchNorm into a fixed scale/bias
+    (FrozenBatchNorm2d, backbone.py:44-80) — stats and affine params are
+    loaded from pretrained weights and never updated.
+
+Layout is NHWC (TPU-native); the weight converter (models/convert.py) maps
+torchvision OIHW checkpoints into these modules.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm with constant (non-trainable, non-updated) stats and affine."""
+
+    features: int
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool = True):
+        scale = self.variable("frozen", "scale", lambda: jnp.ones(self.features))
+        bias = self.variable("frozen", "bias", lambda: jnp.zeros(self.features))
+        mean = self.variable("frozen", "mean", lambda: jnp.zeros(self.features))
+        var = self.variable("frozen", "var", lambda: jnp.ones(self.features))
+        w = scale.value * (var.value + self.epsilon) ** -0.5
+        b = bias.value - mean.value * w
+        return x * w.astype(self.dtype) + b.astype(self.dtype)
+
+
+def _norm(frozen: bool, dtype) -> Callable[..., nn.Module]:
+    if frozen:
+        return partial(FrozenBatchNorm, dtype=dtype)
+    return partial(nn.BatchNorm, momentum=0.9, epsilon=1e-5, dtype=dtype)
+
+
+_conv_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+class BasicBlock(nn.Module):
+    filters: int
+    stride: int = 1
+    frozen_bn: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = _norm(self.frozen_bn, self.dtype)
+        identity = x
+        out = nn.Conv(self.filters, (3, 3), strides=self.stride, padding=1,
+                      use_bias=False, dtype=self.dtype, kernel_init=_conv_init,
+                      name="conv1")(x)
+        out = norm(name="bn1")(out, use_running_average=not train)
+        out = nn.relu(out)
+        out = nn.Conv(self.filters, (3, 3), padding=1, use_bias=False,
+                      dtype=self.dtype, kernel_init=_conv_init, name="conv2")(out)
+        out = norm(name="bn2")(out, use_running_average=not train)
+        if identity.shape[-1] != self.filters or self.stride != 1:
+            identity = nn.Conv(self.filters, (1, 1), strides=self.stride,
+                               use_bias=False, dtype=self.dtype,
+                               kernel_init=_conv_init, name="downsample_conv")(x)
+            identity = norm(name="downsample_bn")(identity,
+                                                  use_running_average=not train)
+        return nn.relu(out + identity)
+
+
+class Bottleneck(nn.Module):
+    filters: int  # bottleneck width; output channels = filters * 4
+    stride: int = 1
+    frozen_bn: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = _norm(self.frozen_bn, self.dtype)
+        out_ch = self.filters * self.expansion
+        identity = x
+        out = nn.Conv(self.filters, (1, 1), use_bias=False, dtype=self.dtype,
+                      kernel_init=_conv_init, name="conv1")(x)
+        out = norm(name="bn1")(out, use_running_average=not train)
+        out = nn.relu(out)
+        out = nn.Conv(self.filters, (3, 3), strides=self.stride, padding=1,
+                      use_bias=False, dtype=self.dtype, kernel_init=_conv_init,
+                      name="conv2")(out)
+        out = norm(name="bn2")(out, use_running_average=not train)
+        out = nn.relu(out)
+        out = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                      kernel_init=_conv_init, name="conv3")(out)
+        out = norm(name="bn3")(out, use_running_average=not train)
+        if identity.shape[-1] != out_ch or self.stride != 1:
+            identity = nn.Conv(out_ch, (1, 1), strides=self.stride,
+                               use_bias=False, dtype=self.dtype,
+                               kernel_init=_conv_init, name="downsample_conv")(x)
+            identity = norm(name="downsample_bn")(identity,
+                                                  use_running_average=not train)
+        return nn.relu(out + identity)
+
+
+class ResNet(nn.Module):
+    """Headless ResNet returning stage feature maps + pooled feature."""
+
+    stage_sizes: Sequence[int]
+    block_cls: Any
+    frozen_bn: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> Dict[str, Any]:
+        norm = _norm(self.frozen_bn, self.dtype)
+        x = x.astype(self.dtype)
+        x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
+                    dtype=self.dtype, kernel_init=_conv_init, name="conv1")(x)
+        x = norm(name="bn1")(x, use_running_average=not train)
+        x = nn.relu(x)
+        # torch MaxPool2d(3, stride=2, padding=1): pad with -inf then pool
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                    constant_values=-jnp.inf)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+        stages = []
+        for si, num_blocks in enumerate(self.stage_sizes):
+            filters = 64 * (2 ** si)
+            for bi in range(num_blocks):
+                stride = 2 if si > 0 and bi == 0 else 1
+                x = self.block_cls(filters=filters, stride=stride,
+                                   frozen_bn=self.frozen_bn, dtype=self.dtype,
+                                   name=f"layer{si + 1}_{bi}")(x, train=train)
+            stages.append(x)
+        pooled = jnp.mean(x, axis=(1, 2))
+        return {"stages": stages, "pooled": pooled}
+
+    @property
+    def num_channels(self) -> int:
+        mult = 1 if self.block_cls is BasicBlock else 4
+        return 512 * mult
+
+
+VARIANTS: Dict[str, Tuple[Sequence[int], Any]] = {
+    "resnet18": ((2, 2, 2, 2), BasicBlock),
+    "resnet34": ((3, 4, 6, 3), BasicBlock),
+    "resnet50": ((3, 4, 6, 3), Bottleneck),
+    "resnet101": ((3, 4, 23, 3), Bottleneck),
+}
+
+
+def build_resnet(name: str, frozen_bn: bool = False,
+                 dtype: jnp.dtype = jnp.float32) -> ResNet:
+    if name not in VARIANTS:
+        raise ValueError(f"unknown resnet variant {name!r}; one of {list(VARIANTS)}")
+    sizes, block = VARIANTS[name]
+    return ResNet(stage_sizes=sizes, block_cls=block, frozen_bn=frozen_bn,
+                  dtype=dtype)
+
+
+def feature_dim(name: str) -> int:
+    sizes, block = VARIANTS[name]
+    return 512 * (1 if block is BasicBlock else 4)

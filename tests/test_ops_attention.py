@@ -1,0 +1,42 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from computervision_codes_tpu.ops.attention import (
+    attention_pallas,
+    attention_reference,
+    multi_head_attention,
+)
+
+
+def _qkv(rng, b=2, h=3, t=50, d=24):
+    q = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    return q, k, v
+
+
+def test_pallas_matches_reference(rng):
+    q, k, v = _qkv(rng)
+    ref = attention_reference(q, k, v)
+    got = attention_pallas(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_pallas_unaligned_shapes(rng):
+    # t and d deliberately not multiples of 128
+    q, k, v = _qkv(rng, b=1, h=2, t=133, d=17)
+    ref = attention_reference(q, k, v)
+    got = attention_pallas(q, k, v, block_q=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_mha_grad_flows(rng):
+    q, k, v = _qkv(rng, b=1, h=1, t=16, d=8)
+
+    def loss(q):
+        return jnp.sum(multi_head_attention(q, k, v) ** 2)
+
+    g = jax.grad(loss)(q)
+    g_ref = jax.grad(lambda q: jnp.sum(attention_reference(q, k, v) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=2e-5)
