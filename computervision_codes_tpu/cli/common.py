@@ -1,0 +1,158 @@
+"""Shared CLI plumbing: reference-compatible flags, eval loops, reports.
+
+The reference drivers are six near-identical argparse scripts (SURVEY.md §1
+L5, ~60-70% duplicated). Here the shared surface lives in one module; each
+driver adds only its own flags. Flag names/defaults mirror the reference
+(MT4MTLKD/Spatial_cnn/run.py:24-87) so published run recipes translate 1:1.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+from typing import Dict, Iterable, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from ..data.pipeline import CholecDataset, video_eval_batches
+from ..metrics import Recognition
+
+COMPONENTS = ("i", "v", "t", "iv", "it", "ivt")
+
+
+def common_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    # model
+    p.add_argument("--model", type=str, default="rendezvous")
+    p.add_argument("--version", type=str, default="")
+    p.add_argument("--network", type=str, default="resnet18")
+    # job
+    p.add_argument("--seed", type=int, default=47)
+    p.add_argument("-t", "--train", action="store_true")
+    p.add_argument("-e", "--test", action="store_true")
+    p.add_argument("-d", "--dump", action="store_true",
+                   help="dump per-video features/preds for the feature bus")
+    p.add_argument("--val_interval", type=int, default=1)
+    # data
+    p.add_argument("--data_dir", type=str, required=True)
+    p.add_argument("--dataset_variant", type=str, default="cholect45-crossval",
+                   choices=["cholect50", "cholect45", "cholect50-challenge",
+                            "cholect50-crossval", "cholect45-crossval",
+                            "cholect45-challenge"])
+    p.add_argument("-k", "--kfold", type=int, default=1,
+                   choices=[1, 2, 3, 4, 5])
+    p.add_argument("--image_width", type=int, default=448)
+    p.add_argument("--image_height", type=int, default=256)
+    p.add_argument("--augmentation_list", type=str, nargs="*",
+                   default=["original", "vflip", "hflip", "contrast", "rot90"])
+    # hp
+    p.add_argument("-b", "--batch", type=int, default=32)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("-w", "--warmups", type=int, nargs="+", default=[9, 18, 58])
+    p.add_argument("-l", "--initial_learning_rates", type=float, nargs="+",
+                   default=[0.01, 0.01, 0.01])
+    p.add_argument("--weight_decay", type=float, default=1e-5)
+    p.add_argument("--decay_rate", type=float, default=0.99)
+    p.add_argument("--momentum", type=float, default=0.95)
+    p.add_argument("--power", type=float, default=0.1)
+    p.add_argument("--temp", type=int, default=4)
+    # weights / io
+    p.add_argument("--pretrain_dir", type=str, default="")
+    p.add_argument("--loss_type", type=str, default="all")
+    p.add_argument("--test_ckpt", type=str, default=None)
+    p.add_argument("--student_dim", type=int, default=512)
+    p.add_argument("--teacher_dim", type=int, default=1536)
+    p.add_argument("--ckpt_root", type=str, default="./__checkpoint__")
+    p.add_argument("--feats_dir", type=str, default=None,
+                   help="feature-bus root (default <data_dir>/data_feats)")
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"])
+    return p
+
+
+def seed_everything(seed: int) -> jax.Array:
+    random.seed(seed)
+    np.random.seed(seed)
+    return jax.random.PRNGKey(seed)
+
+
+def build_modelname(flags) -> str:
+    """Reference naming (Spatial_cnn/run.py:126-128): zip of headers
+    ['', 'l', 'cholect', 'k'] with [model, variant, kfold] — yielding e.g.
+    'rendezvous_lcholect45-crossval_cholect1'."""
+    kfold = flags.kfold if "crossval" in flags.dataset_variant else 0
+    headers = ["", "l", "cholect", "k"]
+    args = [flags.model, flags.dataset_variant, kfold]
+    return "_".join(f"{h}{a}" for h, a in zip(headers, args) if str(a))
+
+
+def make_metrics() -> Dict[str, Recognition]:
+    return {"ivt": Recognition(100), "i": Recognition(6),
+            "v": Recognition(10), "t": Recognition(15)}
+
+
+def reset_metrics(metrics: Dict[str, Recognition]) -> None:
+    for m in metrics.values():
+        m.reset_global()
+
+
+def evaluate_videos(run_batch, dataset: CholecDataset, videos: Sequence[str],
+                    batch_size: int, metrics: Dict[str, Recognition],
+                    collect_features: bool = False) -> Dict[str, np.ndarray]:
+    """Per-video eval loop feeding the Recognition accumulators.
+
+    ``run_batch(images) -> (probs dict with i/v/t/ivt, features or None)``.
+    Returns {video: (T, D) features} when requested (the dump path).
+    """
+    feats_out: Dict[str, np.ndarray] = {}
+    for video in videos:
+        chunks = []
+        for batch in video_eval_batches(dataset, video, batch_size):
+            probs, feats = run_batch(batch["image"])
+            valid = batch["valid"]
+            for key, m in metrics.items():
+                m.update(batch[f"label_{key}"][valid],
+                         np.asarray(probs[key])[valid])
+            if collect_features and feats is not None:
+                chunks.append(np.asarray(feats)[valid])
+        for m in metrics.values():
+            m.video_end()
+        if collect_features:
+            feats_out[video] = np.concatenate(chunks, axis=0)
+    return feats_out
+
+
+def compute_map_table(metrics: Dict[str, Recognition], loss_type: str,
+                      ignore_null: bool) -> Dict[str, Dict]:
+    """Reference metric selection (Spatial_cnn/run.py:518-529): single-task
+    runs use the per-task accumulators; multi-task uses disentangled ivt."""
+    out = {}
+    if loss_type in ("i", "v", "t"):
+        for c in ("i", "v", "t"):
+            out[c] = metrics[c].compute_video_AP(ignore_null=ignore_null)
+    else:
+        for c in ("i", "v", "t"):
+            out[c] = metrics["ivt"].compute_video_AP(c, ignore_null=ignore_null)
+    for c in ("iv", "it", "ivt"):
+        out[c] = metrics["ivt"].compute_video_AP(c, ignore_null=ignore_null)
+    return out
+
+
+def print_final_report(logger, table: Dict[str, Dict],
+                       metrics: Dict[str, Recognition]) -> None:
+    """Reference final report format (Spatial_cnn/run.py:530-561)."""
+    logger.log("-" * 50)
+    logger.log("Test Results\nPer-category AP: ")
+    for c in ("i", "v", "t", "iv", "it", "ivt"):
+        logger.log(f"{c.upper():<4}: {table[c]['AP']}")
+    logger.log("-" * 50)
+    logger.log("Mean AP:  I  |  V  |  T  |  IV  |  IT  |  IVT ")
+    logger.log(":::::: : " + " | ".join(
+        f"{table[c]['mAP']:.4f}" for c in ("i", "v", "t", "iv", "it", "ivt")))
+    for k in (5, 10, 20):
+        tops = [metrics["ivt"].topK(k, c) for c in ("i", "v", "t", "iv", "it", "ivt")]
+        logger.log(f"top {k}:  I  |  V  |  T  |  IV  |  IT  |  IVT ")
+        logger.log(":::::: : " + " | ".join(f"{v:.4f}" for v in tops))
+    logger.log("=" * 50)

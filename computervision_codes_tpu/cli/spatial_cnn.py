@@ -1,0 +1,171 @@
+"""Spatial CNN student driver (MT4MTLKD stage 3).
+
+TPU re-design of MT4MTLKD/Spatial_cnn/run.py + test.py: train the ResNet
+student (optionally with multi-teacher KD when --loss_type all), evaluate
+per-video mAP, keep latest/best checkpoints, and dump per-video features to
+the cached-feature bus (test.py:270-284 pickle protocol).
+
+Usage (mirrors the reference flag surface):
+  python -m computervision_codes_tpu.cli.spatial_cnn -t -e \
+      --data_dir <cholect_root> --dataset_variant cholect45-crossval -k 1 \
+      --loss_type ivt --epochs 2 -b 8
+Dump features for all videos (train+test+val order) after training:
+  ... -d --version Res18
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.feature_store import FeatureStore
+from ..data.pipeline import CholecDataset, batch_iterator
+from ..losses import TARGET_POS_WEIGHT, TOOL_POS_WEIGHT, VERB_POS_WEIGHT
+from ..models.spatial_cnn import SpatialCNN
+from ..train import (
+    CheckpointManager,
+    build_sgd,
+    create_train_state,
+    make_spatial_eval_step,
+    make_spatial_train_step,
+    reference_warmup_exp_schedule,
+)
+from ..utils.logging import ExperimentLogger
+from . import common
+
+
+def parse_flags(argv: Optional[Sequence[str]] = None):
+    p = common.common_parser("MT4MTLKD spatial CNN student (TPU)")
+    p.add_argument("--rates", type=float, nargs="+", default=[1, 0, 0.1])
+    p.add_argument("--teacher_feat_version", type=str, default="Q2L")
+    p.add_argument("--teacher_pred_version", type=str, default="Q2LMSTCT")
+    flags, _ = p.parse_known_args(argv)
+    return flags
+
+
+def main(argv: Optional[Sequence[str]] = None) -> dict:
+    flags = parse_flags(argv)
+    rng = common.seed_everything(flags.seed)
+    dtype = jnp.bfloat16 if flags.dtype == "bfloat16" else jnp.float32
+
+    dataset = CholecDataset(flags.data_dir, flags.dataset_variant, flags.kfold,
+                            augmentation_list=flags.augmentation_list,
+                            image_size=(flags.image_height, flags.image_width))
+    split = dataset.split
+    feats_root = flags.feats_dir or f"{flags.data_dir}/data_feats"
+    if flags.loss_type == "all" and flags.train:
+        dataset.attach_teachers(
+            FeatureStore(feats_root, flags.teacher_feat_version),
+            FeatureStore(feats_root, flags.teacher_pred_version),
+            flags.kfold, split.train)
+
+    modelname = common.build_modelname(flags)
+    model_dir = f"{flags.ckpt_root}/run_{flags.version}"
+    logger = ExperimentLogger(model_dir, modelname)
+    ckpt = CheckpointManager(model_dir, modelname)
+
+    model = SpatialCNN(network=flags.network, loss_type=flags.loss_type,
+                       teacher_dim=flags.teacher_dim, dtype=dtype)
+    steps_per_epoch = max(
+        1, len(dataset.frame_index(split.train)) // flags.batch)
+    sched = reference_warmup_exp_schedule(
+        flags.initial_learning_rates[2], flags.power, flags.warmups[2],
+        flags.decay_rate, steps_per_epoch)
+    tx = build_sgd(sched, flags.weight_decay)
+
+    example_img = jnp.zeros((1, flags.image_height, flags.image_width, 3),
+                            jnp.float32)
+    tfeat = jnp.zeros((1, flags.teacher_dim), jnp.float32)
+    init_args = (example_img, tfeat, tfeat, tfeat) \
+        if flags.loss_type == "all" else (example_img,)
+    state = create_train_state(model, tx, rng, init_args)
+    if flags.pretrain_dir:
+        state = CheckpointManager(flags.pretrain_dir, modelname).restore(state)
+
+    pos_weights = {"i": TOOL_POS_WEIGHT, "v": VERB_POS_WEIGHT,
+                   "t": TARGET_POS_WEIGHT}
+    train_step = make_spatial_train_step(model, flags.loss_type, flags.rates,
+                                         flags.temp, pos_weights)
+    eval_step = make_spatial_eval_step(model)
+
+    def run_batch(images):
+        probs, feats = eval_step(state, jnp.asarray(images))
+        return probs, feats
+
+    metrics = common.make_metrics()
+    set_chlg = "challenge" in flags.dataset_variant
+    logger.run_header("spatial_cnn", modelname, flags.version, flags.batch,
+                      f"peak {flags.initial_learning_rates} warmup "
+                      f"{flags.warmups} decay {flags.decay_rate}")
+    result = {}
+
+    if flags.train:
+        for epoch in range(flags.epochs):
+            logger.log(f"Training | epoch {epoch}", end=" | ")
+            for batch in batch_iterator(dataset, split.train, flags.batch,
+                                        train=True, seed=flags.seed + epoch,
+                                        teacher_dim=flags.teacher_dim,
+                                        drop_last=False, pad_last=True):
+                jb = {k: jnp.asarray(v) for k, v in batch.items()
+                      if k != "valid"}
+                state, m = train_step(state, jb)
+            logger.scalars("train/loss",
+                           {k: float(v) for k, v in m.items()}, epoch)
+            if epoch % flags.val_interval == 0:
+                start = time.time()
+                common.reset_metrics(metrics)
+                logger.log(f"Evaluating @ epoch: {epoch}")
+                common.evaluate_videos(run_batch, dataset, split.val,
+                                       flags.batch, metrics)
+                selector = flags.loss_type if flags.loss_type in "ivt" and \
+                    len(flags.loss_type) == 1 else "ivt"
+                score = metrics[selector].compute_video_AP()["mAP"] \
+                    if selector != "ivt" else \
+                    metrics["ivt"].compute_video_AP()["mAP"]
+                behaviour = ckpt.update(state, score, epoch, logger.logfile)
+                table = common.compute_map_table(metrics, flags.loss_type,
+                                                 set_chlg)
+                logger.scalars("val/mAP",
+                               {f"mAP_{c}": table[c]["mAP"] for c in table},
+                               epoch)
+                logger.log(f"\tval | eta {time.time() - start:.2f}s | "
+                           f"mAP ivt [{table['ivt']['mAP']:.5f}] | "
+                           f"ckpt {behaviour}")
+        result["train_epochs"] = flags.epochs
+
+    if flags.test:
+        if ckpt.exists():
+            state = ckpt.restore(state)
+        logger.log(f"Test weight: {ckpt._path('')}")
+        common.reset_metrics(metrics)
+        common.evaluate_videos(run_batch, dataset, split.test, flags.batch,
+                               metrics)
+        table = common.compute_map_table(metrics, flags.loss_type, set_chlg)
+        common.print_final_report(logger, table, metrics)
+        result["test_mAP"] = {c: table[c]["mAP"] for c in table}
+        print("test mAP:", {c: round(table[c]["mAP"], 4) for c in table})
+
+    if flags.dump:
+        if ckpt.exists():
+            state = ckpt.restore(state)
+        store = FeatureStore(feats_root, flags.version or "Res18")
+        dump_metrics = common.make_metrics()
+        feats = common.evaluate_videos(run_batch, dataset, split.all_videos,
+                                       flags.batch, dump_metrics,
+                                       collect_features=True)
+        task = "" if flags.loss_type in ("all", "ivt") else flags.loss_type
+        path = store.save(flags.kfold, "feats", feats, task=task)
+        logger.log(f"Dumped features for {len(feats)} videos to {path}")
+        result["dump_path"] = path
+
+    logger.close()
+    return result
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

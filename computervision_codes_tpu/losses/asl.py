@@ -1,0 +1,48 @@
+"""Asymmetric focal loss for multi-label classification (ASL).
+
+Parity targets (both variants exist in the reference):
+  * MT4MTLKD variant (Spatial_transformer/models/aslloss.py): scalar
+    ``-loss.sum()``;
+  * TERL variant (TERL/6_baseline_learnT/models/aslloss.py:111-115):
+    per-class vector ``-loss.sum(dim=0)/B * 1000`` (call sites take
+    ``.mean()``), built with gamma_neg=2, gamma_pos=0, clip=0, eps=1e-5
+    (TERL/6_baseline_learnT/run.py:531-536).
+
+One functional implementation with a ``reduction`` switch covers both.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def asymmetric_loss(
+    logits: jnp.ndarray,  # (B, C)
+    targets: jnp.ndarray,  # (B, C) multi-hot
+    gamma_neg: float = 4.0,
+    gamma_pos: float = 1.0,
+    clip: float = 0.05,
+    eps: float = 1e-8,
+    reduction: str = "sum",  # 'sum' (MT4MTLKD) | 'terl' (per-class vector)
+) -> jnp.ndarray:
+    logits = logits.astype(jnp.float32)
+    targets = targets.astype(jnp.float32)
+    anti = 1.0 - targets
+    xs_pos = jax.nn.sigmoid(logits)
+    xs_neg = 1.0 - xs_pos
+    if clip and clip > 0:
+        xs_neg = jnp.clip(xs_neg + clip, a_max=1.0)
+    loss = targets * jnp.log(jnp.clip(xs_pos, a_min=eps))
+    loss = loss + anti * jnp.log(jnp.clip(xs_neg, a_min=eps))
+    if gamma_neg > 0 or gamma_pos > 0:
+        pt = xs_pos * targets + xs_neg * anti
+        gamma = gamma_pos * targets + gamma_neg * anti
+        loss = loss * jnp.power(1.0 - pt, gamma)
+    if reduction == "sum":
+        return -jnp.sum(loss)
+    if reduction == "terl":
+        return -jnp.sum(loss, axis=0) / logits.shape[0] * 1000.0
+    if reduction == "mean_terl":
+        return jnp.mean(-jnp.sum(loss, axis=0) / logits.shape[0] * 1000.0)
+    raise ValueError(f"unknown reduction {reduction!r}")

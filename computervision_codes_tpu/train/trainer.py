@@ -1,0 +1,160 @@
+"""Jitted train/eval step factories for the framework's training tracks.
+
+One generic trainer replaces the reference's six copy-pasted driver loops
+(SURVEY.md §1 L5). Each factory closes over a model + config and returns
+pure (state, batch) -> (state, metrics) functions suitable for jit/pjit;
+the CLI drivers own the epoch/evaluation loop, metrics, and checkpoints.
+
+Loss parity notes:
+  * spatial step = reference Spatial_cnn/run.py:145-224 loss mix
+    (loss_type branches; for 'all': rates[0]*hard + rates[1]*softKL +
+    rates[2]*mseKD with sigmoid-activated teacher preds);
+  * tcn step = Temporal_tenco/run.py:182-235 (FPN fusion loss).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..losses import (
+    bce_with_logits,
+    distill_kl,
+    mse_feature_kd,
+    tcn_multitask_loss,
+)
+from .state import TrainState
+
+
+def create_train_state(model, optimizer, rng, example_inputs,
+                       init_kwargs=None) -> TrainState:
+    init_kwargs = init_kwargs or {}
+    variables = model.init(rng, *example_inputs, **init_kwargs)
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        tx=optimizer,
+        batch_stats=variables.get("batch_stats"),
+        rng=jax.random.fold_in(rng, 1),
+    )
+
+
+def count_params(params) -> int:
+    return sum(int(np.prod(p.shape)) if hasattr(p, "shape") else 0
+               for p in jax.tree.leaves(params))
+
+
+import numpy as np  # noqa: E402  (used by count_params)
+
+
+# ---------------------------------------------------------------------------
+# Spatial (frame-level) track
+# ---------------------------------------------------------------------------
+
+def make_spatial_train_step(model, loss_type: str = "all",
+                            rates: Sequence[float] = (1.0, 0.0, 0.1),
+                            temperature: float = 4.0,
+                            pos_weights: Optional[Dict[str, Any]] = None):
+    pos_weights = pos_weights or {}
+
+    @jax.jit
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        state, rng = state.next_rng()
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+            out, mutated = state.apply_fn(
+                variables,
+                batch["image"],
+                batch.get("teacher_feat_i"),
+                batch.get("teacher_feat_v"),
+                batch.get("teacher_feat_t"),
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": rng},
+            )
+            logits = out["logits"]
+            hard = {
+                k: bce_with_logits(logits[k], batch[f"label_{k}"],
+                                   pos_weight=pos_weights.get(k))
+                for k in ("i", "v", "t", "ivt")
+            }
+            metrics = {f"hard_loss_{k}": v for k, v in hard.items()}
+            if loss_type in ("i", "v", "t", "ivt"):
+                loss = hard[loss_type]
+            else:  # 'all': multi-teacher KD mix
+                hard_loss = hard["i"] + hard["v"] + hard["t"] + hard["ivt"]
+                soft = sum(
+                    distill_kl(logits[k],
+                               jax.nn.sigmoid(batch[f"teacher_pred_{k}"]),
+                               temperature)
+                    for k in ("i", "v", "t")
+                ) / 3.0
+                kd = sum(
+                    mse_feature_kd(out["kd"][k], batch[f"teacher_feat_{k}"])
+                    for k in ("i", "v", "t")
+                ) / 3.0
+                loss = rates[0] * hard_loss + rates[1] * soft + rates[2] * kd
+                metrics.update(hard_loss=hard_loss, soft_loss=soft, kd_loss=kd)
+            metrics["loss"] = loss
+            return loss, (metrics, mutated)
+
+        grads, (metrics, mutated) = jax.grad(loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(
+            grads=grads, batch_stats=mutated.get("batch_stats"))
+        return state, metrics
+
+    return step
+
+
+def make_spatial_eval_step(model):
+    @jax.jit
+    def step(state: TrainState, images: jnp.ndarray):
+        out = state.apply_fn(state.variables(), images, train=False)
+        probs = {k: jax.nn.sigmoid(v) for k, v in out["logits"].items()}
+        return probs, out["feature"]
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Temporal TCN track
+# ---------------------------------------------------------------------------
+
+def make_tcn_train_step(model, comp_weight: float = 0.1,
+                        pos_weights: Optional[Dict] = None,
+                        apply_mask: bool = True):
+    @jax.jit
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        state, rng = state.next_rng()
+
+        def loss_fn(params):
+            out = state.apply_fn({"params": params}, batch["features"],
+                                 train=True, apply_mask=apply_mask,
+                                 rngs={"dropout": rng})
+            labels = {k: batch[f"label_{k}"] for k in ("ivt", "i", "v", "t")}
+            parts = tcn_multitask_loss(out, labels, comp_weight=comp_weight,
+                                       pos_weights=pos_weights,
+                                       frame_mask=batch.get("frame_mask"))
+            return parts["total"], parts
+
+        grads, parts = jax.grad(loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads)
+        return state, {f"loss_{k}": v for k, v in parts.items()}
+
+    return step
+
+
+def make_tcn_eval_step(model):
+    @jax.jit
+    def step(state: TrainState, features: jnp.ndarray):
+        out = state.apply_fn({"params": state.params}, features, train=False)
+        # reference eval uses pyramid level 0 (Temporal_tenco/run.py:252-264)
+        return {k: jax.nn.sigmoid(out[k][0]) for k in ("ivt", "i", "v", "t")}
+
+    return step

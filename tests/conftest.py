@@ -2,7 +2,12 @@
 
 Multi-chip code paths are validated on a simulated mesh
 (SURVEY.md §4: XLA_FLAGS=--xla_force_host_platform_device_count=N).
-Must run before jax is imported anywhere.
+
+NOTE this environment auto-registers the 'axon' TPU backend in every python
+process via sitecustomize and overrides JAX_PLATFORMS, so the env var alone
+is not enough — we also force the platform through jax.config before any
+backend is initialized. Tests must never touch the real TPU: only one
+process can hold the TPU tunnel at a time and concurrent users deadlock.
 """
 
 import os
@@ -12,6 +17,10 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
@@ -19,3 +28,11 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _assert_cpu():
+    assert jax.devices()[0].platform == "cpu", (
+        "tests must run on CPU — the axon TPU tunnel only supports one "
+        "process and tests would deadlock against other jax users"
+    )

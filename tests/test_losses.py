@@ -1,0 +1,161 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from computervision_codes_tpu.losses import (
+    asymmetric_loss,
+    bce_with_logits,
+    component_labels,
+    component_max_logits,
+    distill_kl,
+    kcl_loss,
+    kcl_proto_loss,
+    mse_feature_kd,
+    supcon_ccl_loss,
+    tcn_multitask_loss,
+)
+
+
+def test_bce_matches_torch(rng):
+    x = rng.standard_normal((8, 10)).astype(np.float32)
+    y = (rng.random((8, 10)) < 0.3).astype(np.float32)
+    pw = rng.random(10).astype(np.float32) * 2 + 0.1
+    want = torch.nn.BCEWithLogitsLoss(pos_weight=torch.tensor(pw))(
+        torch.tensor(x), torch.tensor(y)).item()
+    got = float(bce_with_logits(jnp.asarray(x), jnp.asarray(y), pos_weight=pw))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    # no pos_weight
+    want2 = torch.nn.BCEWithLogitsLoss()(torch.tensor(x), torch.tensor(y)).item()
+    got2 = float(bce_with_logits(jnp.asarray(x), jnp.asarray(y)))
+    np.testing.assert_allclose(got2, want2, rtol=1e-5)
+
+
+def test_distill_kl_matches_torch(rng):
+    # reference DistillKL (MT4MTLKD/Spatial_cnn/run.py:284-295) with the
+    # sigmoid-activated teacher input used at the call site (run.py:180-182)
+    T = 4.0
+    s = rng.standard_normal((6, 10)).astype(np.float32)
+    t_raw = rng.standard_normal((6, 10)).astype(np.float32)
+    t_act = torch.sigmoid(torch.tensor(t_raw))
+    p_s = F.log_softmax(torch.tensor(s) / T, dim=1)
+    p_t = F.softmax(t_act / T, dim=1)
+    want = (F.kl_div(p_s, p_t, reduction="sum") * (T ** 2) / s.shape[0]).item()
+    got = float(distill_kl(jnp.asarray(s), jax.nn.sigmoid(jnp.asarray(t_raw)), T))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_mse_matches_torch(rng):
+    a = rng.standard_normal((4, 16)).astype(np.float32)
+    b = rng.standard_normal((4, 16)).astype(np.float32)
+    want = torch.nn.MSELoss()(torch.tensor(a), torch.tensor(b)).item()
+    np.testing.assert_allclose(
+        float(mse_feature_kd(jnp.asarray(a), jnp.asarray(b))), want, rtol=1e-6)
+
+
+def _torch_asl(x, y, gamma_neg, gamma_pos, clip, eps):
+    # independent torch re-derivation of the ASL formula (Alibaba-MIIL ASL)
+    x = torch.tensor(x)
+    y = torch.tensor(y)
+    xs_pos = torch.sigmoid(x)
+    xs_neg = 1.0 - xs_pos
+    if clip and clip > 0:
+        xs_neg = (xs_neg + clip).clamp(max=1)
+    loss = y * torch.log(xs_pos.clamp(min=eps))
+    loss = loss + (1 - y) * torch.log(xs_neg.clamp(min=eps))
+    pt = xs_pos * y + xs_neg * (1 - y)
+    gamma = gamma_pos * y + gamma_neg * (1 - y)
+    loss = loss * torch.pow(1 - pt, gamma)
+    return loss
+
+
+def test_asl_variants_match_torch(rng):
+    x = rng.standard_normal((5, 7)).astype(np.float32)
+    y = (rng.random((5, 7)) < 0.4).astype(np.float32)
+    base = _torch_asl(x, y, 2.0, 0.0, 0.0, 1e-5)
+    want_terl = (-base.sum(dim=0) / x.shape[0] * 1000).numpy()
+    got_terl = np.asarray(asymmetric_loss(jnp.asarray(x), jnp.asarray(y),
+                                          gamma_neg=2, gamma_pos=0, clip=0,
+                                          eps=1e-5, reduction="terl"))
+    np.testing.assert_allclose(got_terl, want_terl, rtol=1e-4)
+    base2 = _torch_asl(x, y, 4.0, 1.0, 0.05, 1e-8)
+    got_sum = float(asymmetric_loss(jnp.asarray(x), jnp.asarray(y),
+                                    reduction="sum"))
+    np.testing.assert_allclose(got_sum, float(-base2.sum()), rtol=1e-4)
+
+
+def test_component_max_consistency(rng):
+    from computervision_codes_tpu.data.bank import load_bank
+
+    bank = load_bank()
+    logits = jnp.asarray(rng.standard_normal((3, 100)), jnp.float32)
+    comp = component_max_logits(logits)
+    assert comp["i"].shape == (3, 6)
+    # manual check for i-class 2
+    idx = np.where(bank[:, 1] == 2)[0]
+    want = np.asarray(logits)[:, idx].max(axis=1)
+    np.testing.assert_allclose(np.asarray(comp["i"][:, 2]), want, rtol=1e-6)
+
+    labels = (rng.random((3, 100)) < 0.1).astype(np.float32)
+    cl = component_labels(jnp.asarray(labels))
+    for f in range(3):
+        for t in np.nonzero(labels[f])[0]:
+            assert cl["i"][f, bank[t, 1]] == 1
+            assert cl["v"][f, bank[t, 2]] == 1
+
+
+def test_kcl_losses_basic(rng):
+    key = jax.random.PRNGKey(0)
+    B, K = 4, 12
+    logits = jnp.asarray(rng.standard_normal((B, 1 + K)), jnp.float32)
+    mask = jnp.asarray((rng.random((B, K)) < 0.3).astype(np.float32))
+    loss = kcl_loss(key, logits, mask, k=3)
+    assert np.isfinite(float(loss))
+    # with k=0 the full mask is used: closed-form check against log_softmax
+    lp = jax.nn.log_softmax(logits / 0.07, axis=1)
+    full = jnp.concatenate([jnp.ones((B, 1)), mask], axis=1)
+    want = -float(jnp.sum(jnp.sum(full * lp, 1) / jnp.sum(full, 1)) / B)
+    np.testing.assert_allclose(float(kcl_loss(key, logits, mask, k=0)), want,
+                               rtol=1e-5)
+
+
+def test_kcl_proto_no_positives_is_zero(rng):
+    key = jax.random.PRNGKey(0)
+    logits = jnp.asarray(rng.standard_normal((3, 5)), jnp.float32)
+    zero_mask = jnp.zeros((3, 5))
+    assert float(kcl_proto_loss(key, logits, zero_mask)) == 0.0
+    some = zero_mask.at[0, 1].set(1.0)
+    assert np.isfinite(float(kcl_proto_loss(key, logits, some)))
+
+
+def test_supcon_ccl_finite(rng):
+    logits = jnp.asarray(rng.standard_normal((4, 9)), jnp.float32)
+    lm = jnp.asarray((rng.random((4, 8)) < 0.4).astype(np.float32))
+    cm = jnp.asarray((rng.random((4, 8)) < 0.4).astype(np.float32))
+    assert np.isfinite(float(supcon_ccl_loss(logits, lm, cm)))
+
+
+def test_tcn_fusion_loss(rng):
+    T = 20
+    levels = [jnp.asarray(rng.standard_normal((1, T, 100)), jnp.float32)
+              for _ in range(4)]
+    outputs = {
+        "ivt": levels,
+        "i": [l[..., :6] for l in levels],
+        "v": [l[..., :10] for l in levels],
+        "t": [l[..., :15] for l in levels],
+    }
+    labels = {
+        "ivt": jnp.asarray((rng.random((T, 100)) < 0.05).astype(np.float32)),
+        "i": jnp.asarray((rng.random((T, 6)) < 0.3).astype(np.float32)),
+        "v": jnp.asarray((rng.random((T, 10)) < 0.3).astype(np.float32)),
+        "t": jnp.asarray((rng.random((T, 15)) < 0.3).astype(np.float32)),
+    }
+    parts = tcn_multitask_loss(outputs, labels)
+    want = 0.1 * (parts["i"] + parts["v"] + parts["t"]) + parts["ivt"]
+    np.testing.assert_allclose(float(parts["total"]), float(want), rtol=1e-6)
+    # manual level sum for ivt
+    manual = sum(float(bce_with_logits(l[0], labels["ivt"])) for l in levels)
+    np.testing.assert_allclose(float(parts["ivt"]), manual, rtol=1e-5)
