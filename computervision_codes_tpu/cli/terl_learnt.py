@@ -1,0 +1,207 @@
+"""TERL learnT driver (tail-enhanced contrastive spatial stage).
+
+TPU re-design of TERL/6_baseline_learnT/run.py + test.py: Swin + CAM heads
++ MoCo queue/prototypes with tail-aware losses; evaluation uses the
+component-max i/v/t from ivt logits (test.py:246-252); dump writes
+k{fold}_feats.pkl (pooled backbone features) and k{fold}_pred.pkl (sigmoid
+ivt probabilities) for the TCN_black temporal stage.
+
+Canonical recipes (TERL runT.sh / runB.sh): SwinT 224 / moco_dim 768 or
+SwinB 384 / moco_dim 1024, moco-k 16384, w_epoch 1, epochs 20, seed
+20000912, --mlp, --train_div 2 or 4.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.feature_store import FeatureStore
+from ..data.pipeline import CholecDataset, batch_iterator
+from ..models.moco import TERLModel, select_tail_anchors
+from ..models.swin import swin_feature_dim
+from ..train import CheckpointManager, build_sgd, reference_warmup_exp_schedule
+from ..train.terl import (
+    create_terl_state,
+    make_terl_eval_step,
+    make_terl_train_step,
+)
+from ..losses.components import component_max_logits
+from ..utils.logging import ExperimentLogger
+from . import common
+
+# reference head-class lists (TERL/6_baseline_learnT/run.py:224-227)
+HEAD_CLASSES = {"ivt": (17, 60, 19), "i": (0, 2), "v": (1, 2), "t": (0, 8)}
+TASK_NUM = {"ivt": 100, "i": 6, "v": 10, "t": 15}
+
+
+def tail_head_masks(task: str):
+    num = TASK_NUM[task]
+    tail = np.ones(num, np.float32)
+    tail[list(HEAD_CLASSES[task])] = 0.0
+    return tail, 1.0 - tail
+
+
+def parse_flags(argv: Optional[Sequence[str]] = None):
+    p = common.common_parser("TERL learnT tail-contrastive stage (TPU)")
+    p.add_argument("--backbone", type=str, default="swin_T_224_1k")
+    p.add_argument("--img_size", type=int, default=224)
+    p.add_argument("--moco_dim", type=int, default=768)
+    p.add_argument("--moco_k", type=int, default=16384)
+    p.add_argument("--moco_m", type=float, default=0.999)
+    p.add_argument("--moco_t", type=float, default=0.07)
+    p.add_argument("--mlp", action="store_true")
+    p.add_argument("--ht", action="store_true",
+                   help="separate head/tail CAM heads")
+    p.add_argument("--w_epoch", type=int, default=1)
+    p.add_argument("--w_con", type=float, default=1.0)
+    p.add_argument("--w_proto", type=float, default=1.0)
+    p.add_argument("--w_tail", type=float, default=1.0)
+    p.add_argument("--kcl_k", type=int, default=7)
+    p.add_argument("--train_div", type=float, default=1.0)
+    p.add_argument("--max_anchors_per_image", type=int, default=4)
+    flags, _ = p.parse_known_args(argv)
+    return flags
+
+
+def main(argv: Optional[Sequence[str]] = None) -> dict:
+    flags = parse_flags(argv)
+    rng = common.seed_everything(flags.seed)
+    dtype = jnp.bfloat16 if flags.dtype == "bfloat16" else jnp.float32
+    flags.moco_dim = swin_feature_dim(flags.backbone)  # see train/terl.py
+
+    dataset = CholecDataset(flags.data_dir, flags.dataset_variant, flags.kfold,
+                            augmentation_list=flags.augmentation_list,
+                            image_size=(flags.img_size, flags.img_size))
+    split = dataset.split
+    feats_root = flags.feats_dir or f"{flags.data_dir}/data_feats"
+
+    modelname = common.build_modelname(flags) + "_learnT"
+    model_dir = f"{flags.ckpt_root}/run_{flags.version}"
+    logger = ExperimentLogger(model_dir, modelname)
+    ckpt = CheckpointManager(model_dir, modelname)
+
+    ht_masks = {t: tail_head_masks(t)[::-1] for t in TASK_NUM} \
+        if flags.ht else None  # (head_mask, tail_mask) per task
+    tail_ivt_mask, _ = tail_head_masks("ivt")
+
+    model = TERLModel(backbone=flags.backbone, moco_dim=flags.moco_dim,
+                      mlp=flags.mlp, ht=flags.ht, dtype=dtype)
+    steps_per_epoch = max(1, len(dataset.frame_index(split.train)) //
+                          flags.batch)
+    sched = reference_warmup_exp_schedule(
+        flags.initial_learning_rates[2], flags.power, flags.warmups[2],
+        flags.decay_rate, steps_per_epoch)
+    tx = build_sgd(sched, flags.weight_decay)
+    example = jnp.zeros((1, flags.img_size, flags.img_size, 3), jnp.float32)
+    state = create_terl_state(model, tx, rng, example,
+                              queue_size=flags.moco_k)
+
+    max_anchors = flags.batch * flags.max_anchors_per_image
+    train_step = make_terl_train_step(
+        model, w_con=flags.w_con, w_proto=flags.w_proto, w_tail=flags.w_tail,
+        w_epoch=flags.w_epoch, moco_m=flags.moco_m, moco_t=flags.moco_t,
+        kcl_k=flags.kcl_k, use_mlp=flags.mlp, ht_masks=ht_masks)
+    eval_step = make_terl_eval_step(model, ht_masks=ht_masks)
+
+    def run_batch(images):
+        probs, feats = eval_step(state, jnp.asarray(images))
+        # eval protocol: component scores are the max over the triplet
+        # probabilities (test.py:246-252)
+        comp = component_max_logits(probs["ivt"])
+        probs = {"ivt": probs["ivt"], **comp}
+        return probs, feats
+
+    metrics = common.make_metrics()
+    set_chlg = "challenge" in flags.dataset_variant
+    logger.run_header("terl_learnt", modelname, flags.version, flags.batch,
+                      f"backbone {flags.backbone} mocoK {flags.moco_k}")
+    result = {}
+
+    if flags.train:
+        for epoch in range(flags.epochs):
+            n_batches = 0
+            max_batches = steps_per_epoch / flags.train_div
+            for batch in batch_iterator(dataset, split.train, flags.batch,
+                                        train=True, seed=flags.seed + epoch,
+                                        pad_last=True, two_views=True):
+                if n_batches > max_batches:
+                    break  # --train_div partial epoch (run.py:238-239)
+                tail_labels = batch["label_ivt"] * tail_ivt_mask[None, :]
+                s, c, v = select_tail_anchors(tail_labels, max_anchors)
+                jb = {
+                    "image1": jnp.asarray(batch["image"]),
+                    "image2": jnp.asarray(batch["image2"]),
+                    "anchor_sample": jnp.asarray(s),
+                    "anchor_class": jnp.asarray(c),
+                    "anchor_valid": jnp.asarray(v),
+                }
+                for k in ("i", "v", "t", "ivt"):
+                    jb[f"label_{k}"] = jnp.asarray(
+                        batch[f"label_{k}"].astype(np.float32))
+                state, m = train_step(state, jb, jnp.asarray(epoch))
+                n_batches += 1
+            logger.scalars("train/loss",
+                           {k: float(v) for k, v in m.items()}, epoch)
+            if epoch == flags.w_epoch - 1:
+                ckpt.save(state, tag=f"w{flags.w_epoch}")  # warmup snapshot
+            if epoch % flags.val_interval == 0:
+                common.reset_metrics(metrics)
+                common.evaluate_videos(run_batch, dataset, split.val,
+                                       flags.batch, metrics)
+                score = metrics["ivt"].compute_video_AP()["mAP"]
+                behaviour = ckpt.update(state, score, epoch, logger.logfile)
+                logger.log(f"epoch {epoch} val mAP[ivt] {score:.5f} "
+                           f"ckpt {behaviour}")
+        result["train_epochs"] = flags.epochs
+
+    if flags.test:
+        if ckpt.exists():
+            state = ckpt.restore(state)
+        common.reset_metrics(metrics)
+        common.evaluate_videos(run_batch, dataset, split.test, flags.batch,
+                               metrics)
+        table = common.compute_map_table(metrics, "all", set_chlg)
+        common.print_final_report(logger, table, metrics)
+        result["test_mAP"] = {c: table[c]["mAP"] for c in table}
+        print("test mAP:", {c: round(table[c]["mAP"], 4) for c in table})
+
+    if flags.dump:
+        if ckpt.exists():
+            state = ckpt.restore(state)
+        store = FeatureStore(feats_root, flags.version or "TERL")
+        dm = common.make_metrics()
+        preds_out = {}
+
+        def run_batch_collect(images):
+            probs, feats = eval_step(state, jnp.asarray(images))
+            comp = component_max_logits(probs["ivt"])
+            return {"ivt": probs["ivt"], **comp}, feats
+
+        feats = {}
+        for video in split.all_videos:
+            chunks, pchunks = [], []
+            from ..data.pipeline import video_eval_batches
+
+            for b in video_eval_batches(dataset, video, flags.batch):
+                probs, f = run_batch_collect(b["image"])
+                valid = b["valid"]
+                chunks.append(np.asarray(f)[valid])
+                pchunks.append(np.asarray(probs["ivt"])[valid])
+            feats[video] = np.concatenate(chunks, 0)
+            preds_out[video] = np.concatenate(pchunks, 0)
+        fpath = store.save(flags.kfold, "feats", feats)
+        ppath = store.save(flags.kfold, "pred", preds_out)
+        logger.log(f"Dumped {fpath} and {ppath}")
+        result["dump_paths"] = (fpath, ppath)
+
+    logger.close()
+    return result
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -76,7 +76,8 @@ class CholecDataset:
 
     def load_frame(self, video: str, row: int,
                    rng: Optional[np.random.Generator] = None,
-                   teacher_dim: int = 1536) -> Dict[str, np.ndarray]:
+                   teacher_dim: int = 1536,
+                   two_views: bool = False) -> Dict[str, np.ndarray]:
         vd = self.video(video)
         lab = vd.labels
         img = Image.open(lab.frame_path(self.dataset_dir, row))
@@ -87,11 +88,20 @@ class CholecDataset:
             arr = T.eval_transform(img, self.image_size)
         item = {
             "image": arr,
+        }
+        if two_views:
+            # TERL two-crop protocol (TERL/6_baseline_learnT/dataloader.py:
+            # 101,233-266): two independent augmentations of the same frame
+            item["image2"] = (
+                T.train_transform(rng, img, self.image_size,
+                                  self.augmentation_list)
+                if rng is not None else arr)
+        item.update({
             "label_i": lab.tool[row],
             "label_v": lab.verb[row],
             "label_t": lab.target[row],
             "label_ivt": lab.triplet[row],
-        }
+        })
         t = vd.teacher
         for k in ("i", "v", "t"):
             item[f"teacher_pred_{k}"] = t.get(
@@ -109,7 +119,7 @@ def _collate(items: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
 def batch_iterator(dataset: CholecDataset, videos: Sequence[str],
                    batch_size: int, train: bool, seed: int = 0,
                    teacher_dim: int = 1536, drop_last: bool = False,
-                   pad_last: bool = False,
+                   pad_last: bool = False, two_views: bool = False,
                    prefetch: int = 2) -> Iterator[Dict[str, np.ndarray]]:
     """Threaded prefetching batch stream over the given videos.
 
@@ -131,7 +141,8 @@ def batch_iterator(dataset: CholecDataset, videos: Sequence[str],
                 items = [
                     dataset.load_frame(v, i,
                                        rng=rng if train else None,
-                                       teacher_dim=teacher_dim)
+                                       teacher_dim=teacher_dim,
+                                       two_views=two_views)
                     for v, i in chunk
                 ]
                 batch = _collate(items)

@@ -25,6 +25,7 @@ def asymmetric_loss(
     clip: float = 0.05,
     eps: float = 1e-8,
     reduction: str = "sum",  # 'sum' (MT4MTLKD) | 'terl' (per-class vector)
+    sample_weight=None,  # (B,) mask/weight for padded anchors
 ) -> jnp.ndarray:
     logits = logits.astype(jnp.float32)
     targets = targets.astype(jnp.float32)
@@ -39,10 +40,16 @@ def asymmetric_loss(
         pt = xs_pos * targets + xs_neg * anti
         gamma = gamma_pos * targets + gamma_neg * anti
         loss = loss * jnp.power(1.0 - pt, gamma)
+    if sample_weight is not None:
+        w = sample_weight.astype(jnp.float32)[:, None]
+        loss = loss * w
+        denom = jnp.maximum(jnp.sum(w), 1.0)
+    else:
+        denom = jnp.asarray(logits.shape[0], jnp.float32)
     if reduction == "sum":
         return -jnp.sum(loss)
     if reduction == "terl":
-        return -jnp.sum(loss, axis=0) / logits.shape[0] * 1000.0
+        return -jnp.sum(loss, axis=0) / denom * 1000.0
     if reduction == "mean_terl":
-        return jnp.mean(-jnp.sum(loss, axis=0) / logits.shape[0] * 1000.0)
+        return jnp.mean(-jnp.sum(loss, axis=0) / denom * 1000.0)
     raise ValueError(f"unknown reduction {reduction!r}")

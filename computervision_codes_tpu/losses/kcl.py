@@ -43,8 +43,13 @@ def _log_prob(logits: jnp.ndarray) -> jnp.ndarray:
 
 
 def kcl_loss(rng: jax.Array, logits: jnp.ndarray, pos_mask: jnp.ndarray,
-             k: int = 7, temperature: float = 0.07) -> jnp.ndarray:
-    """KCL over MoCo logits (B, 1+K); pos_mask (B, K) marks queue positives."""
+             k: int = 7, temperature: float = 0.07,
+             anchor_valid=None) -> jnp.ndarray:
+    """KCL over MoCo logits (B, 1+K); pos_mask (B, K) marks queue positives.
+
+    ``anchor_valid`` (B,) excludes padded anchors (static-shape batching of
+    the reference's variable-length anchor set).
+    """
     logits = logits.astype(jnp.float32) / temperature
     sampled = k_positive_mask(rng, pos_mask.astype(jnp.float32), k) if k > 0 \
         else pos_mask.astype(jnp.float32)
@@ -52,7 +57,10 @@ def kcl_loss(rng: jax.Array, logits: jnp.ndarray, pos_mask: jnp.ndarray,
     mask = jnp.concatenate([ones, sampled], axis=1)
     lp = _log_prob(logits)
     per_anchor = jnp.sum(mask * lp, axis=1) / jnp.sum(mask, axis=1)
-    return -jnp.sum(per_anchor) / mask.shape[0]
+    if anchor_valid is None:
+        return -jnp.sum(per_anchor) / mask.shape[0]
+    v = anchor_valid.astype(jnp.float32)
+    return -jnp.sum(per_anchor * v) / jnp.maximum(jnp.sum(v), 1.0)
 
 
 def kcl_proto_loss(rng: jax.Array, logits: jnp.ndarray, proto_mask: jnp.ndarray,
