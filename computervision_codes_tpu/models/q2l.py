@@ -188,6 +188,20 @@ class Q2L(nn.Module):
                         frozen_bn=True, dtype=self.dtype, name="backbone")
             fmap = bb(images, train=train)["stages"][-1]
             dim = feature_dim(self.backbone)
+        elif self.backbone.startswith("cvt"):
+            from .cvt import VARIANTS as CVT_VARIANTS, CvT
+
+            bb = CvT(dtype=self.dtype, name="backbone",
+                     **CVT_VARIANTS[self.backbone])
+            fmap = bb(images, train=train)["feature_map"]
+            dim = CVT_VARIANTS[self.backbone]["dims"][-1]
+        elif self.backbone.startswith("tresnet"):
+            from .tresnet import VARIANTS as TR_VARIANTS, TResNet
+
+            bb = TResNet(dtype=self.dtype, name="backbone",
+                         **TR_VARIANTS[self.backbone])
+            fmap = bb(images, train=train)["stages"][-1]
+            dim = TR_VARIANTS[self.backbone]["width"] * 8 * 4
         else:
             raise ValueError(f"unknown backbone {self.backbone!r}")
 

@@ -31,16 +31,16 @@ from flax import linen as nn
 class FrozenBatchNorm(nn.Module):
     """BatchNorm with constant (non-trainable, non-updated) stats and affine."""
 
-    features: int
     epsilon: float = 1e-5
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, use_running_average: bool = True):
-        scale = self.variable("frozen", "scale", lambda: jnp.ones(self.features))
-        bias = self.variable("frozen", "bias", lambda: jnp.zeros(self.features))
-        mean = self.variable("frozen", "mean", lambda: jnp.zeros(self.features))
-        var = self.variable("frozen", "var", lambda: jnp.ones(self.features))
+        n = x.shape[-1]
+        scale = self.variable("frozen", "scale", lambda: jnp.ones(n))
+        bias = self.variable("frozen", "bias", lambda: jnp.zeros(n))
+        mean = self.variable("frozen", "mean", lambda: jnp.zeros(n))
+        var = self.variable("frozen", "var", lambda: jnp.ones(n))
         w = scale.value * (var.value + self.epsilon) ** -0.5
         b = bias.value - mean.value * w
         return x * w.astype(self.dtype) + b.astype(self.dtype)

@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.dilated_conv import dilated_residual_fused
 from .common import interpolate_1d
 
 
@@ -56,20 +57,35 @@ class DilatedResidualLayer(nn.Module):
     features: int
     causal: bool = False
     dropout: float = 0.5
+    use_fused: bool = True  # Pallas fused layer on the TPU eval path
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        c = self.features
+        init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in",
+                                                "truncated_normal")
+        w_taps = self.param("w_taps", init, (3, c, c))
+        b1 = self.param("b1", nn.initializers.zeros, (c,))
+        w2 = self.param("w2", nn.initializers.lecun_normal(), (c, c))
+        b2 = self.param("b2", nn.initializers.zeros, (c,))
+        w_taps = w_taps.astype(self.dtype)
+        d = self.dilation
+        t = x.shape[1]
+        if self.use_fused and not self.causal and not train:
+            out_res = dilated_residual_fused(
+                x, w_taps, b1.astype(self.dtype), w2.astype(self.dtype),
+                b2.astype(self.dtype), d)
+            # fused path includes the residual; dropout is identity in eval
+            return out_res
         if self.causal:
-            pad = 2 * self.dilation
-            out = jnp.pad(x, ((0, 0), (pad, 0), (0, 0)))
-            out = conv1d(self.features, 3, self.dilation, padding="VALID",
-                         dtype=self.dtype, name="conv_dilated")(out)
+            xp = jnp.pad(x, ((0, 0), (2 * d, 0), (0, 0)))
         else:
-            out = conv1d(self.features, 3, self.dilation, padding=self.dilation,
-                         dtype=self.dtype, name="conv_dilated")(x)
-        out = nn.relu(out)
-        out = conv1d(self.features, 1, dtype=self.dtype, name="conv_1x1")(out)
+            xp = jnp.pad(x, ((0, 0), (d, d), (0, 0)))
+        h = (xp[:, :t] @ w_taps[0] + xp[:, d:d + t] @ w_taps[1]
+             + xp[:, 2 * d:2 * d + t] @ w_taps[2] + b1.astype(self.dtype))
+        h = nn.relu(h)
+        out = h @ w2.astype(self.dtype) + b2.astype(self.dtype)
         out = nn.Dropout(self.dropout)(out, deterministic=not train)
         return x + out
 

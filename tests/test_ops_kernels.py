@@ -1,0 +1,98 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from computervision_codes_tpu.ops.dilated_conv import (
+    dilated_residual_fused,
+    dilated_residual_pallas,
+    dilated_residual_reference,
+)
+from computervision_codes_tpu.ops.fused_norm import (
+    blur_pool,
+    fused_scale_bias_act,
+    fused_scale_bias_act_reference,
+    space_to_depth,
+)
+
+
+def _layer(rng, b=1, t=70, c=16):
+    x = jnp.asarray(rng.standard_normal((b, t, c)), jnp.float32)
+    w_taps = jnp.asarray(rng.standard_normal((3, c, c)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal(c) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((c, c)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal(c) * 0.1, jnp.float32)
+    return x, w_taps, b1, w2, b2
+
+
+@pytest.mark.parametrize("dilation", [1, 4, 16])
+def test_dilated_residual_pallas_matches_reference(rng, dilation):
+    x, w_taps, b1, w2, b2 = _layer(rng)
+    want = dilated_residual_reference(x, w_taps, b1, w2, b2, dilation)
+    got = dilated_residual_pallas(x, w_taps, b1, w2, b2, dilation, block_t=32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_dilated_residual_reference_matches_torch_conv(rng):
+    import torch
+
+    x, w_taps, b1, w2, b2 = _layer(rng, t=40, c=8)
+    d = 3
+    conv = torch.nn.Conv1d(8, 8, 3, padding=d, dilation=d)
+    with torch.no_grad():
+        # torch conv1d weight (out, in, k): k taps [left, center, right]
+        conv.weight.copy_(torch.tensor(
+            np.stack([np.asarray(w_taps[k]).T for k in range(3)], axis=-1)))
+        conv.bias.copy_(torch.tensor(np.asarray(b1)))
+    proj = torch.nn.Conv1d(8, 8, 1)
+    with torch.no_grad():
+        proj.weight.copy_(torch.tensor(np.asarray(w2).T[:, :, None]))
+        proj.bias.copy_(torch.tensor(np.asarray(b2)))
+    xt = torch.tensor(np.asarray(x).transpose(0, 2, 1))
+    with torch.no_grad():
+        want = (xt + proj(torch.relu(conv(xt)))).numpy().transpose(0, 2, 1)
+    got = dilated_residual_reference(x, w_taps, b1, w2, b2, d)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+
+def test_dilated_residual_fused_grad(rng):
+    x, w_taps, b1, w2, b2 = _layer(rng, t=20, c=8)
+
+    def loss(x, w_taps):
+        return jnp.sum(dilated_residual_fused(x, w_taps, b1, w2, b2, 2) ** 2)
+
+    g1, g2 = jax.grad(loss, argnums=(0, 1))(x, w_taps)
+    ref = jax.grad(
+        lambda x, w: jnp.sum(
+            dilated_residual_reference(x, w, b1, w2, b2, 2) ** 2),
+        argnums=(0, 1))(x, w_taps)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(ref[0]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(ref[1]), atol=1e-4)
+
+
+def test_fused_scale_bias_act(rng):
+    x = jnp.asarray(rng.standard_normal((4, 10, 16)), jnp.float32)
+    s = jnp.asarray(rng.standard_normal(16), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(16), jnp.float32)
+    want = fused_scale_bias_act_reference(x, s, b)
+    got = fused_scale_bias_act(x, s, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_space_to_depth_roundtrip(rng):
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 3)), jnp.float32)
+    y = space_to_depth(x, 4)
+    assert y.shape == (1, 2, 2, 48)
+    # first output channel block = the 4x4 patch of channel order
+    np.testing.assert_allclose(np.asarray(y[0, 0, 0, :3]),
+                               np.asarray(x[0, 0, 0]), rtol=1e-6)
+
+
+def test_blur_pool_shape_and_smoothing(rng):
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 4)), jnp.float32)
+    y = blur_pool(x)
+    assert y.shape == (1, 4, 4, 4)
+    # constant input stays constant in the interior (filter sums to 1)
+    const = jnp.ones((1, 8, 8, 2))
+    yc = blur_pool(const)
+    np.testing.assert_allclose(np.asarray(yc[0, 1:3, 1:3]), 1.0, rtol=1e-6)
