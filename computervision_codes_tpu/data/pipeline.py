@@ -77,19 +77,20 @@ class CholecDataset:
     def load_frame(self, video: str, row: int,
                    rng: Optional[np.random.Generator] = None,
                    teacher_dim: int = 1536,
-                   two_views: bool = False) -> Dict[str, np.ndarray]:
+                   two_views: bool = False,
+                   decode: bool = True) -> Dict[str, np.ndarray]:
         vd = self.video(video)
         lab = vd.labels
-        img = Image.open(lab.frame_path(self.dataset_dir, row))
-        if rng is not None:
-            arr = T.train_transform(rng, img, self.image_size,
-                                    self.augmentation_list)
-        else:
-            arr = T.eval_transform(img, self.image_size)
-        item = {
-            "image": arr,
-        }
-        if two_views:
+        item: Dict[str, np.ndarray] = {}
+        if decode:
+            img = Image.open(lab.frame_path(self.dataset_dir, row))
+            if rng is not None:
+                arr = T.train_transform(rng, img, self.image_size,
+                                        self.augmentation_list)
+            else:
+                arr = T.eval_transform(img, self.image_size)
+            item["image"] = arr
+        if two_views and decode:
             # TERL two-crop protocol (TERL/6_baseline_learnT/dataloader.py:
             # 101,233-266): two independent augmentations of the same frame
             item["image2"] = (
@@ -132,7 +133,15 @@ def batch_iterator(dataset: CholecDataset, videos: Sequence[str],
     if train:
         rng.shuffle(index)
 
+    use_native = False
+    if not train:
+        from . import native as native_mod
+
+        use_native = native_mod.available()
+
     def producer(q: queue.Queue):
+        # exceptions are forwarded to the consumer (a silently dying worker
+        # would truncate the stream and corrupt per-video metrics)
         try:
             for start in range(0, len(index), batch_size):
                 chunk = index[start:start + batch_size]
@@ -142,10 +151,19 @@ def batch_iterator(dataset: CholecDataset, videos: Sequence[str],
                     dataset.load_frame(v, i,
                                        rng=rng if train else None,
                                        teacher_dim=teacher_dim,
-                                       two_views=two_views)
+                                       two_views=two_views,
+                                       decode=not use_native)
                     for v, i in chunk
                 ]
                 batch = _collate(items)
+                if use_native:
+                    # GIL-free multithreaded decode of the whole chunk
+                    from . import native as native_mod
+
+                    paths = [dataset.video(v).labels.frame_path(
+                        dataset.dataset_dir, i) for v, i in chunk]
+                    batch["image"] = native_mod.decode_batch(
+                        paths, dataset.image_size)
                 n = len(chunk)
                 if pad_last and n < batch_size:
                     pad = batch_size - n
@@ -155,6 +173,8 @@ def batch_iterator(dataset: CholecDataset, videos: Sequence[str],
                 batch["valid"] = np.arange(
                     batch["image"].shape[0]) < n
                 q.put(batch)
+        except BaseException as e:  # noqa: BLE001 - forwarded to consumer
+            q.put(e)
         finally:
             q.put(None)
 
@@ -165,6 +185,8 @@ def batch_iterator(dataset: CholecDataset, videos: Sequence[str],
         batch = q.get()
         if batch is None:
             break
+        if isinstance(batch, BaseException):
+            raise batch
         yield batch
 
 

@@ -1,0 +1,104 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from computervision_codes_tpu.ops.attention import attention_reference
+from computervision_codes_tpu.parallel.context import (
+    all_gather_keys,
+    sequence_parallel_attention,
+    sequence_parallel_dilated_conv,
+)
+from computervision_codes_tpu.parallel.mesh import (
+    DATA_AXIS,
+    SEQ_AXIS,
+    batch_sharding,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+
+
+@pytest.fixture(scope="module")
+def seq_mesh():
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    return make_mesh(n_data=1, n_seq=8)
+
+
+@pytest.fixture(scope="module")
+def data_mesh():
+    return make_mesh(n_data=8)
+
+
+def test_mesh_shapes(data_mesh, seq_mesh):
+    assert data_mesh.shape[DATA_AXIS] == 8
+    assert seq_mesh.shape[SEQ_AXIS] == 8
+
+
+def test_sequence_parallel_attention_exact(seq_mesh, rng):
+    q = jnp.asarray(rng.standard_normal((1, 2, 64, 16)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 2, 64, 16)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 2, 64, 16)), jnp.float32)
+    want = attention_reference(q, k, v)
+    got = sequence_parallel_attention(q, k, v, seq_mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_sequence_parallel_dilated_conv_exact(seq_mesh, rng):
+    x = jnp.asarray(rng.standard_normal((2, 64, 8)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 8, 8)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(8) * 0.1, jnp.float32)
+    d = 4  # <= T_local (64/8 = 8)
+    xp = jnp.pad(x, ((0, 0), (d, d), (0, 0)))
+    want = (xp[:, :64] @ w[0] + xp[:, d:d + 64] @ w[1]
+            + xp[:, 2 * d:2 * d + 64] @ w[2] + b)
+    got = sequence_parallel_dilated_conv(x, w, b, d, seq_mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_moco_all_gather(data_mesh, rng):
+    keys = jnp.asarray(rng.standard_normal((16, 4)), jnp.float32)
+    labels = jnp.arange(16, dtype=jnp.int32)
+    valid = jnp.ones(16, jnp.float32)
+
+    def body(k, l, v):
+        gk, gl, gv = all_gather_keys(k, l, v, DATA_AXIS)
+        return gk, gl, gv
+
+    fn = shard_map(body, mesh=data_mesh,
+                   in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+                   out_specs=(P(), P(), P()), check_rep=False)
+    gk, gl, gv = fn(keys, labels, valid)
+    # every device sees the full 16 anchors in order
+    np.testing.assert_array_equal(np.asarray(gl), np.arange(16))
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(keys), rtol=1e-6)
+
+
+def test_data_parallel_train_step_matches_single_device(rng):
+    """The sharded KD train step produces the same loss/grads as unsharded."""
+    from computervision_codes_tpu.models.spatial_cnn import SpatialCNN
+    from computervision_codes_tpu.train import build_sgd, create_train_state
+    from computervision_codes_tpu.train.trainer import make_spatial_train_step
+
+    mesh = make_mesh(n_data=8)
+    model = SpatialCNN(network="resnet18", loss_type="ivt")
+    tx = build_sgd(1e-2)
+    img = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), (img,))
+    b = 8
+    batch = {
+        "image": jnp.asarray(rng.standard_normal((b, 32, 32, 3)), jnp.float32),
+        "label_i": jnp.zeros((b, 6)), "label_v": jnp.zeros((b, 10)),
+        "label_t": jnp.zeros((b, 15)),
+        "label_ivt": jnp.asarray((rng.random((b, 100)) < 0.05).astype(np.float32)),
+    }
+    step = make_spatial_train_step(model, loss_type="ivt")
+    _, m_single = step(state, batch)
+
+    state_r = replicate(state, mesh)
+    batch_s = shard_batch(batch, mesh)
+    _, m_sharded = step(state_r, batch_s)
+    np.testing.assert_allclose(float(m_sharded["loss"]),
+                               float(m_single["loss"]), rtol=1e-4)
