@@ -72,13 +72,19 @@ class GroupWiseLinear(nn.Module):
         return out
 
 
+def gelu_exact(x):
+    """Exact (erf) GELU — torch nn.GELU default, needed for weight-port
+    parity with Swin/MS-TCT checkpoints (flax's default is tanh-approx)."""
+    return nn.gelu(x, approximate=False)
+
+
 class Mlp(nn.Module):
     """Transformer MLP block (dense -> act -> drop -> dense -> drop)."""
 
     hidden_dim: int
     out_dim: Optional[int] = None
     dropout: float = 0.0
-    act: Callable = nn.gelu
+    act: Callable = gelu_exact
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact

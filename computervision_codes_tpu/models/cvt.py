@@ -41,7 +41,7 @@ class ConvProjection(nn.Module):
         x = nn.Conv(self.dim, (3, 3), strides=self.stride, padding=1,
                     feature_group_count=self.dim, use_bias=False,
                     dtype=self.dtype, name="dw")(x)
-        x = nn.LayerNorm(dtype=self.dtype, name="bn")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="bn")(x)
         return x
 
 
@@ -95,7 +95,7 @@ class CvTBlock(nn.Module):
     @nn.compact
     def __call__(self, x, cls=None, deterministic: bool = True):
         b, h, w, c = x.shape
-        norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
+        norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")
         xa, ca = CvTAttention(self.dim, self.num_heads,
                               with_cls=self.with_cls, dtype=self.dtype,
                               name="attn")(
@@ -103,7 +103,7 @@ class CvTBlock(nn.Module):
         x = x + xa
         if cls is not None:
             cls = cls + ca
-        norm2 = nn.LayerNorm(dtype=self.dtype, name="norm2")
+        norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")
         mlp = Mlp(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp")
         x = x + mlp(norm2(x), deterministic)
         if cls is not None:
@@ -127,7 +127,7 @@ class CvT(nn.Module):
             k, s = (7, 4) if si == 0 else (3, 2)
             x = nn.Conv(dim, (k, k), strides=s, padding=k // 2,
                         dtype=self.dtype, name=f"embed{si}")(x)
-            x = nn.LayerNorm(dtype=self.dtype, name=f"embed_norm{si}")(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"embed_norm{si}")(x)
             last = si == len(self.dims) - 1
             if last:
                 cls = self.param("cls_token", trunc_normal_init(),
@@ -137,7 +137,7 @@ class CvT(nn.Module):
                 x, cls = CvTBlock(dim, nh, with_cls=last, dtype=self.dtype,
                                   name=f"stage{si}_block{bi}")(
                     x, cls, deterministic=det)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         pooled = cls[:, 0] if cls is not None else jnp.mean(x, axis=(1, 2))
         return {"feature_map": x, "pooled": pooled}
 

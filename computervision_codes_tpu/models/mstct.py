@@ -43,7 +43,7 @@ class TemporalMergingBlock(nn.Module):
     def __call__(self, x):  # (B, T, C)
         x = nn.Conv(self.embed_dim, (self.kernel,), strides=(self.stride,),
                     padding=self.kernel // 2, dtype=self.dtype, name="proj")(x)
-        return nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
 
 
 class GlobalRelationalBlock(nn.Module):
@@ -88,7 +88,7 @@ class LocalRelationalBlock(nn.Module):
         x = nn.Conv(self.hidden_dim, (3,), padding=1,
                     feature_group_count=self.hidden_dim, dtype=self.dtype,
                     name="tc")(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)  # torch nn.GELU parity
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         x = nn.Dense(out_dim, dtype=self.dtype,
                      kernel_init=trunc_normal_init(), name="linear2")(x)
@@ -108,10 +108,10 @@ class GLRBlock(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         x = x + GlobalRelationalBlock(self.dim, self.num_heads, self.dtype,
                                       name="grb")(
-            nn.LayerNorm(dtype=self.dtype, name="norm1")(x))
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x))
         x = x + LocalRelationalBlock(int(self.dim * self.mlp_ratio),
                                      dtype=self.dtype, name="lrb")(
-            nn.LayerNorm(dtype=self.dtype, name="norm2")(x),
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x),
             deterministic=deterministic)
         return x
 
@@ -135,7 +135,7 @@ class TemporalEncoder(nn.Module):
                 x = GLRBlock(dim, self.num_heads, self.mlp_ratio, self.dtype,
                              name=f"stage{si + 1}_block{bi}")(
                     x, deterministic=deterministic)
-            x = nn.LayerNorm(dtype=self.dtype, name=f"norm{si + 1}")(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norm{si + 1}")(x)
             outs.append(x)
         return outs
 

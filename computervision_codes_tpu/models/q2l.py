@@ -80,13 +80,13 @@ class EncoderLayer(nn.Module):
                                   self.dtype, name="self_attn")(
             qk, qk, x, deterministic)
         x = x + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         ffn = nn.Dense(self.ffn_dim, dtype=self.dtype, name="linear1")(x)
         ffn = nn.relu(ffn)
         ffn = nn.Dropout(self.dropout)(ffn, deterministic=deterministic)
         ffn = nn.Dense(self.dim, dtype=self.dtype, name="linear2")(ffn)
         x = x + nn.Dropout(self.dropout)(ffn, deterministic=deterministic)
-        return nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
 
 
 class DecoderLayer(nn.Module):
@@ -105,13 +105,13 @@ class DecoderLayer(nn.Module):
                                   self.dtype, name="cross_attn")(
             tgt + query_pos, memory + pos, memory, deterministic)
         tgt = tgt + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        tgt = nn.LayerNorm(dtype=self.dtype, name="norm2")(tgt)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(tgt)
         ffn = nn.Dense(self.ffn_dim, dtype=self.dtype, name="linear1")(tgt)
         ffn = nn.relu(ffn)
         ffn = nn.Dropout(self.dropout)(ffn, deterministic=deterministic)
         ffn = nn.Dense(self.dim, dtype=self.dtype, name="linear2")(ffn)
         tgt = tgt + nn.Dropout(self.dropout)(ffn, deterministic=deterministic)
-        return nn.LayerNorm(dtype=self.dtype, name="norm3")(tgt)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(tgt)
 
 
 class Q2LTransformer(nn.Module):
@@ -143,7 +143,7 @@ class Q2LTransformer(nn.Module):
                                self.dropout, self.dtype,
                                name=f"decoder{i}")(tgt, memory, pos, query,
                                                    deterministic)
-        tgt = nn.LayerNorm(dtype=self.dtype, name="decoder_norm")(tgt)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="decoder_norm")(tgt)
         return tgt, memory
 
 

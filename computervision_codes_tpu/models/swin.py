@@ -139,7 +139,7 @@ class SwinBlock(nn.Module):
         b, hgt, wid, c = x.shape
         w = self.window
         shortcut = x
-        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         # pad to window multiples (reference pads inside the block)
         ph = (w - hgt % w) % w
         pw = (w - wid % w) % w
@@ -164,7 +164,7 @@ class SwinBlock(nn.Module):
             x, deterministic)
         mlp_out = Mlp(int(self.dim * self.mlp_ratio), dropout=self.dropout,
                       dtype=self.dtype, name="mlp")(
-            nn.LayerNorm(dtype=self.dtype, name="norm2")(x), deterministic)
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x), deterministic)
         return x + DropPath(self.drop_path, name="drop_path2")(
             mlp_out, deterministic)
 
@@ -183,7 +183,7 @@ class PatchMerging(nn.Module):
             x[:, 0::2, 0::2], x[:, 1::2, 0::2],
             x[:, 0::2, 1::2], x[:, 1::2, 1::2],
         ], axis=-1)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype,
                         kernel_init=trunc_normal_init(), name="reduction")(x)
 
@@ -207,7 +207,7 @@ class SwinTransformer(nn.Module):
         x = nn.Conv(self.embed_dim, (4, 4), strides=4, dtype=self.dtype,
                     name="patch_embed")(x)
         if self.patch_norm:
-            x = nn.LayerNorm(dtype=self.dtype, name="patch_norm")(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_norm")(x)
         x = nn.Dropout(self.dropout)(x, deterministic=det)
 
         total = sum(self.depths)
@@ -227,7 +227,7 @@ class SwinTransformer(nn.Module):
             if si < len(self.depths) - 1:
                 x = PatchMerging(dim=dim, dtype=self.dtype,
                                  name=f"merge{si}")(x)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         pooled = jnp.mean(x, axis=(1, 2))
         out = {"feature_map": x, "pooled": pooled}
         if self.num_classes:
