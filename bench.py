@@ -1,14 +1,22 @@
 """Headline benchmark: end-to-end video frames/sec/chip, pixels -> logits.
 
 Runs the flagship deployed model (EndToEndRecognizer: ResNet18 over frames +
-causal TCN + all task heads, ONE XLA program) on the real TPU chip at the
-reference resolution 256x448 in bfloat16, and prints one JSON line.
+causal TCN + all task heads, ONE XLA program — with the fused Pallas TCN
+layers) on the real TPU chip at the reference resolution 256x448 in
+bfloat16, and prints one JSON line.
+
+Measurement notes (this runtime): ``block_until_ready`` on the axon remote
+backend does NOT wait for remote execution (fire-ahead), so naive timing
+reads absurdly fast. The loop therefore chains every step's scalar summary
+into a device-side accumulator (a real data dependency across all steps)
+and reads ONE scalar back at the end — all executions must complete, and
+the single host round-trip amortizes away.
 
 ``vs_baseline``: the reference publishes no throughput numbers
 (BASELINE.md). The driver-supplied target is >=5x an A100 running the
 reference's student pipeline; we anchor the A100 estimate at 2500 frames/s
 (torch ResNet18 inference @256x448 with the TCN head, mixed precision) and
-report value / 2500.0. The JSON also carries the raw numbers.
+report value / 2500.0.
 """
 
 import json
@@ -26,33 +34,33 @@ A100_REFERENCE_FPS_ESTIMATE = 2500.0
 def main():
     from computervision_codes_tpu.models.pipeline import EndToEndRecognizer
 
-    batch, clip_len = 4, 64  # 256 frames per step
+    batch, clip_len = 4, 256  # 4 full 256-frame clips per step
     model = EndToEndRecognizer(dtype=jnp.bfloat16)
-    # random data — all-zeros input measured ~40x too fast on this runtime
-    clips = jax.random.normal(jax.random.PRNGKey(1),
-                              (batch, clip_len, 256, 448, 3), jnp.bfloat16)
-    variables = model.init(jax.random.PRNGKey(0), clips[:1, :4])
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 4, 256, 448, 3), jnp.bfloat16))
+
+    n_bufs, iters = 2, 20
+    stacked = jax.random.normal(
+        jax.random.PRNGKey(2), (n_bufs, batch, clip_len, 256, 448, 3),
+        jnp.bfloat16)
 
     @jax.jit
-    def forward(variables, clips):
-        return model.apply(variables, clips)["ivt"]
+    def bench_fn(v, stacked):
+        # the whole timing loop is ONE device program: scan over steps,
+        # each consuming a rotating input buffer, chained into a scalar
+        def step(acc, i):
+            clips = stacked[i % n_bufs]
+            out = model.apply(v, clips)["ivt"].astype(jnp.float32).mean()
+            return acc + out, None
 
-    # distinct input buffers (this runtime short-circuits repeated identical
-    # executions, which would fake the timing)
-    inputs = [
-        jax.random.normal(jax.random.PRNGKey(i + 2),
-                          (batch, clip_len, 256, 448, 3), jnp.bfloat16)
-        for i in range(5)
-    ]
-    # warmup / compile
-    forward(variables, inputs[0]).block_until_ready()
-    forward(variables, inputs[1]).block_until_ready()
+        total, _ = jax.lax.scan(step, jnp.zeros(()), jnp.arange(iters))
+        return total
 
-    iters = 20
+    jax.block_until_ready(stacked)
+    float(bench_fn(variables, stacked))  # warmup / compile + full round-trip
+
     start = time.perf_counter()
-    outs = [forward(variables, inputs[i % len(inputs)]) for i in range(iters)]
-    for o in outs:
-        o.block_until_ready()
+    checksum = float(bench_fn(variables, stacked))  # one host round-trip
     elapsed = time.perf_counter() - start
     fps = batch * clip_len * iters / elapsed
 
@@ -64,7 +72,7 @@ def main():
         "vs_baseline": round(fps / A100_REFERENCE_FPS_ESTIMATE, 3),
         "detail": {
             "batch": batch, "clip_len": clip_len, "iters": iters,
-            "elapsed_s": round(elapsed, 3),
+            "elapsed_s": round(elapsed, 3), "checksum": round(checksum, 4),
             "baseline_anchor": "A100 reference-student estimate "
                                f"{A100_REFERENCE_FPS_ESTIMATE} fps",
             "device": str(jax.devices()[0]),

@@ -43,20 +43,22 @@ def _mm(a, b):
 
 
 def _kernel(x_hbm, wl_ref, wc_ref, wr_ref, b1_ref, w2_ref, b2_ref, o_ref,
-            scratch, sem, *, dilation: int, block_t: int):
+            scratch, sem, *, dilation: int, block_t: int, halo: int):
+    # ``halo`` is the sublane-aligned halo (>= dilation); the DMA slice
+    # length block_t + 2*halo must be tiling-aligned on TPU.
     i = pl.program_id(0)
     j = pl.program_id(1)
     d = dilation
     start = j * block_t  # element offset into the front-halo-padded T axis
     dma = pltpu.make_async_copy(
-        x_hbm.at[i, pl.ds(start, block_t + 2 * d), :], scratch, sem)
+        x_hbm.at[i, pl.ds(start, block_t + 2 * halo), :], scratch, sem)
     dma.start()
     dma.wait()
-    xb = scratch[...].astype(jnp.float32)  # (block_t + 2d, C)
-    center = xb[d:d + block_t]
-    h = _mm(xb[:block_t], wl_ref[...].astype(jnp.float32))
+    xb = scratch[...].astype(jnp.float32)  # (block_t + 2*halo, C)
+    center = xb[halo:halo + block_t]
+    h = _mm(xb[halo - d:halo - d + block_t], wl_ref[...].astype(jnp.float32))
     h += _mm(center, wc_ref[...].astype(jnp.float32))
-    h += _mm(xb[2 * d:2 * d + block_t], wr_ref[...].astype(jnp.float32))
+    h += _mm(xb[halo + d:halo + d + block_t], wr_ref[...].astype(jnp.float32))
     h = jax.nn.relu(h + b1_ref[...].astype(jnp.float32))
     out = _mm(h, w2_ref[...].astype(jnp.float32))
     o_ref[0] = (center + out + b2_ref[...].astype(jnp.float32)).astype(
@@ -69,12 +71,15 @@ def dilated_residual_pallas(x, w_taps, b1, w2, b2, dilation: int,
     b, t, c = x.shape
     d = dilation
     tp = ((t + block_t - 1) // block_t) * block_t
+    # sublane-aligned halo so the DMA slice length is tiling-aligned
+    align = 16 if x.dtype == jnp.bfloat16 else 8
+    halo = ((d + align - 1) // align) * align
     # zero padding: front/back halo (conv zero-pad) + tail to block multiple
-    xp = jnp.pad(x, ((0, 0), (d, tp - t + d), (0, 0)))
+    xp = jnp.pad(x, ((0, 0), (halo, tp - t + halo), (0, 0)))
     grid = (b, tp // block_t)
     rep = lambda i, j: (0, 0)
     out = pl.pallas_call(
-        functools.partial(_kernel, dilation=d, block_t=block_t),
+        functools.partial(_kernel, dilation=d, block_t=block_t, halo=halo),
         out_shape=jax.ShapeDtypeStruct((b, tp, c), x.dtype),
         grid=grid,
         in_specs=[
@@ -89,7 +94,7 @@ def dilated_residual_pallas(x, w_taps, b1, w2, b2, dilation: int,
         out_specs=pl.BlockSpec((1, block_t, c), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((block_t + 2 * d, c), x.dtype),
+            pltpu.VMEM((block_t + 2 * halo, c), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=jax.default_backend() != "tpu",
