@@ -57,7 +57,18 @@ def parse_flags(argv: Optional[Sequence[str]] = None):
     p.add_argument("--mlp", action="store_true")
     p.add_argument("--ht", action="store_true",
                    help="separate head/tail CAM heads")
-    p.add_argument("--w_epoch", type=int, default=1)
+    p.add_argument("--w_epoch", type=int, default=5)
+    p.add_argument("--drop_classes", type=int, nargs="+", default=[],
+                   help="triplet class ids removed from the train head "
+                        "(eval restores them as zeros, run.py:424-437)")
+    p.add_argument("--tail_num", type=int, default=84,
+                   help="number of rarest triplet classes treated as tail "
+                        "(from ins_num.txt)")
+    p.add_argument("--tail_classes_ivt", type=int, nargs="+", default=[],
+                   help="explicit tail class list (overrides --tail_num)")
+    p.add_argument("--eval_train_tail", action="store_true",
+                   help="also evaluate the last 9 train videos "
+                        "(reference build_test_train_dataset)")
     p.add_argument("--w_con", type=float, default=1.0)
     p.add_argument("--w_proto", type=float, default=1.0)
     p.add_argument("--w_tail", type=float, default=1.0)
@@ -89,8 +100,16 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
         if flags.ht else None  # (head_mask, tail_mask) per task
     tail_ivt_mask, _ = tail_head_masks("ivt")
 
+    # class dropping (reference run.py:208-211,510): the ivt head covers
+    # only the surviving classes; class_map sends remapped -> original ids
+    valid_classes = [c for c in range(100) if c not in set(flags.drop_classes)]
+    n_ivt = len(valid_classes)
+    class_map = np.asarray(valid_classes, np.int64)
+    tail_ivt_mask = tail_ivt_mask[class_map]
+
     model = TERLModel(backbone=flags.backbone, moco_dim=flags.moco_dim,
-                      mlp=flags.mlp, ht=flags.ht, dtype=dtype)
+                      mlp=flags.mlp, ht=flags.ht, num_triplet=n_ivt,
+                      dtype=dtype)
     steps_per_epoch = max(1, len(dataset.frame_index(split.train)) //
                           flags.batch)
     sched = reference_warmup_exp_schedule(
@@ -105,15 +124,25 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
     train_step = make_terl_train_step(
         model, w_con=flags.w_con, w_proto=flags.w_proto, w_tail=flags.w_tail,
         w_epoch=flags.w_epoch, moco_m=flags.moco_m, moco_t=flags.moco_t,
-        kcl_k=flags.kcl_k, use_mlp=flags.mlp, ht_masks=ht_masks)
+        kcl_k=flags.kcl_k, use_mlp=flags.mlp, ht_masks=ht_masks,
+        class_map=class_map if flags.drop_classes else None)
     eval_step = make_terl_eval_step(model, ht_masks=ht_masks)
+
+    def restore_full(probs_ivt):
+        """Expand remapped ivt probs back to 100 classes (run.py:424-437)."""
+        if n_ivt == 100:
+            return probs_ivt
+        full = np.zeros((probs_ivt.shape[0], 100), np.float32)
+        full[:, class_map] = np.asarray(probs_ivt)
+        return full
 
     def run_batch(images):
         probs, feats = eval_step(state, jnp.asarray(images))
+        ivt_full = restore_full(np.asarray(probs["ivt"]))
         # eval protocol: component scores are the max over the triplet
         # probabilities (test.py:246-252)
-        comp = component_max_logits(probs["ivt"])
-        probs = {"ivt": probs["ivt"], **comp}
+        comp = component_max_logits(jnp.asarray(ivt_full))
+        probs = {"ivt": ivt_full, **comp}
         return probs, feats
 
     metrics = common.make_metrics()
@@ -131,7 +160,8 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
                                         pad_last=True, two_views=True):
                 if n_batches > max_batches:
                     break  # --train_div partial epoch (run.py:238-239)
-                tail_labels = batch["label_ivt"] * tail_ivt_mask[None, :]
+                lab_ivt = batch["label_ivt"][:, class_map]  # remapped space
+                tail_labels = lab_ivt * tail_ivt_mask[None, :]
                 s, c, v = select_tail_anchors(tail_labels, max_anchors)
                 jb = {
                     "image1": jnp.asarray(batch["image"]),
@@ -139,8 +169,9 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
                     "anchor_sample": jnp.asarray(s),
                     "anchor_class": jnp.asarray(c),
                     "anchor_valid": jnp.asarray(v),
+                    "label_ivt": jnp.asarray(lab_ivt.astype(np.float32)),
                 }
-                for k in ("i", "v", "t", "ivt"):
+                for k in ("i", "v", "t"):
                     jb[f"label_{k}"] = jnp.asarray(
                         batch[f"label_{k}"].astype(np.float32))
                 state, m = train_step(state, jb, jnp.asarray(epoch))
@@ -169,6 +200,15 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
         common.print_final_report(logger, table, metrics)
         result["test_mAP"] = {c: table[c]["mAP"] for c in table}
         print("test mAP:", {c: round(table[c]["mAP"], 4) for c in table})
+        if flags.eval_train_tail:
+            # third eval pass: last 9 train videos (reference
+            # build_test_train_dataset, dataloader.py:200-211)
+            tt = common.make_metrics()
+            common.evaluate_videos(run_batch, dataset, split.train[-9:],
+                                   flags.batch, tt)
+            score = tt["ivt"].compute_video_AP()["mAP"]
+            logger.log(f"test-train (last 9 train videos) mAP[ivt] {score:.5f}")
+            result["test_train_mAP"] = score
 
     if flags.dump:
         if ckpt.exists():
@@ -179,8 +219,9 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
 
         def run_batch_collect(images):
             probs, feats = eval_step(state, jnp.asarray(images))
-            comp = component_max_logits(probs["ivt"])
-            return {"ivt": probs["ivt"], **comp}, feats
+            ivt_full = restore_full(np.asarray(probs["ivt"]))
+            comp = component_max_logits(jnp.asarray(ivt_full))
+            return {"ivt": ivt_full, **comp}, feats
 
         feats = {}
         for video in split.all_videos:

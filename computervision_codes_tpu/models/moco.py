@@ -49,6 +49,7 @@ class MoCoEncoder(nn.Module):
     mlp: bool = True
     ht: bool = False
     drop_rate: float = 0.0
+    num_triplet: int = 100  # 100 - len(drop_classes) under --drop_classes
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -69,8 +70,9 @@ class MoCoEncoder(nn.Module):
             x = nn.relu(x)
         mlp_feat = nn.Dense(self.moco_dim, dtype=self.dtype, name="head")(x)
 
+        sizes = dict(TASK_SIZES, ivt=self.num_triplet)
         cams, logits = {}, {}
-        for task, width in TASK_SIZES.items():
+        for task, width in sizes.items():
             if self.ht:
                 cam_h = nn.Conv(width, (1, 1), dtype=self.dtype,
                                 name=f"cam_{task}_head")(fmap)
@@ -153,11 +155,13 @@ class TERLModel(nn.Module):
     mlp: bool = True
     ht: bool = False
     drop_rate: float = 0.0
+    num_triplet: int = 100
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.encoder = MoCoEncoder(self.backbone, self.moco_dim, self.mlp,
-                                   self.ht, self.drop_rate, self.dtype)
+                                   self.ht, self.drop_rate, self.num_triplet,
+                                   self.dtype)
         self.disen = CamDisentangle(swin_feature_dim(self.backbone)
                                     if self.backbone in SWIN_VARIANTS else 512,
                                     self.dtype)
@@ -183,8 +187,9 @@ class TERLModel(nn.Module):
 
 
 def apply_cam_ivt(encoder_params, maps: jnp.ndarray) -> jnp.ndarray:
-    """Apply the encoder's cam_ivt 1x1 conv to anchor maps -> (A, 100)."""
-    conv = nn.Conv(100, (1, 1))
+    """Apply the encoder's cam_ivt 1x1 conv to anchor maps -> (A, n_ivt)."""
+    width = encoder_params["cam_ivt"]["kernel"].shape[-1]
+    conv = nn.Conv(width, (1, 1))
     out = conv.apply({"params": encoder_params["cam_ivt"]}, maps)
     return jnp.mean(out, axis=(1, 2))
 

@@ -34,7 +34,6 @@ from flax.training import train_state
 
 from ..data import bank as bank_mod
 from ..losses.asl import asymmetric_loss
-from ..losses.components import component_max_logits
 from ..losses.kcl import kcl_loss
 from ..models import moco as moco_mod
 from ..models.moco import MoCoQueue, TERLModel
@@ -78,12 +77,27 @@ def make_terl_train_step(model: TERLModel, w_con: float = 1.0,
                          w_proto: float = 1.0, w_tail: float = 1.0,
                          w_epoch: int = 1, moco_m: float = 0.999,
                          moco_t: float = 0.07, kcl_k: int = 7,
-                         use_mlp: bool = True, ht_masks=None):
+                         use_mlp: bool = True, ht_masks=None,
+                         class_map=None):
     """Returns step(state, batch, epoch) -> (state, metrics).
 
     batch: image1/image2 (B,H,W,3), label_{i,v,t,ivt} (B,C),
     tail_ivt (B,100), anchor_sample/anchor_class (A,), anchor_valid (A,).
+
+    ``class_map`` (V,) maps remapped triplet ids back to original 100-space
+    ids when training with --drop_classes (reference run.py:208-211); the
+    queue stores ORIGINAL ids so KCL positive masks stay consistent.
     """
+    import numpy as np
+
+    from ..data.bank import component_projection
+
+    n_ivt = model.num_triplet
+    cm_np = np.arange(100) if class_map is None else np.asarray(class_map)
+    # component projections restricted to the surviving triplet rows
+    projs = {k: jnp.asarray(component_projection(k)[cm_np])
+             for k in ("i", "v", "t")}
+    class_map = jnp.asarray(cm_np, jnp.int32)
     asl = lambda lg, tg, w=None: asymmetric_loss(  # TERL ASL config
         lg, tg, gamma_neg=2, gamma_pos=0, clip=0, eps=1e-5,
         reduction="mean_terl", sample_weight=w)
@@ -108,8 +122,13 @@ def make_terl_train_step(model: TERLModel, w_con: float = 1.0,
             # direct heads (ASL over i/v/t)
             loss_cls1 = sum(asl(logits[k], batch[f"label_{k}"])
                             for k in ("i", "v", "t"))
-            # component-max ivt -> i/v/t + direct ivt
-            comp = component_max_logits(logits["ivt"])
+            # component-max ivt -> i/v/t + direct ivt (remap-aware)
+            comp = {
+                k: jnp.max(jnp.where(projs[k] > 0,
+                                     logits["ivt"][..., None], -jnp.inf),
+                           axis=-2)
+                for k in ("i", "v", "t")
+            }
             loss_cls_ivt = sum(asl(comp[k], batch[f"label_{k}"])
                                for k in ("i", "v", "t"))
             loss_cls_ivt = loss_cls_ivt + asl(logits["ivt"],
@@ -140,7 +159,7 @@ def make_terl_train_step(model: TERLModel, w_con: float = 1.0,
             k = k_pooled / jnp.maximum(
                 jnp.linalg.norm(k_pooled, axis=-1, keepdims=True), 1e-12)
 
-            lab_ivt = c_idx
+            lab_ivt = class_map[c_idx]  # original 100-space ids
             cl = moco_mod.moco_logits(q, k, queue)
             pos_mask = moco_mod.queue_positive_mask(lab_ivt, queue.l_ivt)
             loss_con = kcl_loss(kcl_rng, cl, pos_mask, k=kcl_k,
@@ -156,7 +175,8 @@ def make_terl_train_step(model: TERLModel, w_con: float = 1.0,
                     both_valid)
                 for t, col in (("i", 1), ("v", 2), ("t", 3)))
 
-            loss_tail = asl(y_tail, jax.nn.one_hot(lab_ivt, 100), valid)
+            # y_tail lives in the (possibly remapped) head space
+            loss_tail = asl(y_tail, jax.nn.one_hot(c_idx, n_ivt), valid)
 
             warm = loss_cls1 + w_con * loss_con
             full = (loss_cls1 + loss_cls_ivt + w_con * loss_con +

@@ -84,3 +84,25 @@ def test_weight_balancing_tables():
     for fold in (1, 2, 3, 4, 5):
         wf = weight_balancing("cholect50-crossval", fold)
         assert len(wf["target"]) == 15
+
+
+def test_tail_stats():
+    from computervision_codes_tpu.data.tail_stats import (
+        class_counts_sorted_by_id,
+        instance_counts,
+        tail_triplet_classes,
+    )
+
+    counts = instance_counts()
+    assert counts["i"].shape == (6, 2)
+    assert counts["ivt"].shape == (100, 2)
+    # descending counts within each section
+    assert (np.diff(counts["ivt"][:, 1]) <= 0).all()
+    tails = tail_triplet_classes(84)
+    assert len(tails) == 84
+    # the 3 hardcoded head classes are the most frequent -> not in the tail
+    for head in (17, 60, 19):
+        assert head not in tails
+    assert tail_triplet_classes(10, explicit=[1, 2]) == [1, 2]
+    by_id = class_counts_sorted_by_id("i")
+    assert by_id.shape == (6,)
