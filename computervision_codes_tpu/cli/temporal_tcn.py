@@ -58,6 +58,8 @@ def parse_flags(argv: Optional[Sequence[str]] = None):
                    help="75%% random train-time feature masking")
     p.add_argument("--fpn", action="store_true", default=True)
     p.add_argument("--causal", action="store_true")
+    p.add_argument("--hier", action="store_true",
+                   help="hierarchical pyramid (avgpool k7 s3 per refinement)")
     p.add_argument("--dedup_black", action="store_true",
                    help="drop frozen/black frames (TERL TCN_black)")
     p.add_argument("--train_div", type=float, default=1.0,
@@ -126,6 +128,7 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
                         num_refinements=flags.num_R,
                         num_f_maps=flags.num_f_maps,
                         use_fpn=flags.fpn, causal=flags.causal,
+                        hier=flags.hier,
                         mask_rate=0.75 if flags.mask else 0.0,
                         dtype=dtype)
     sched = reference_warmup_exp_schedule(

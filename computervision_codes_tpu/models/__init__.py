@@ -1,0 +1,25 @@
+from .common import Classifier, GroupWiseLinear, Mlp
+from .cvt import CvT, build_cvt
+from .mstct import MSTCT
+from .moco import MoCoEncoder, MoCoQueue, TERLModel
+from .pipeline import EndToEndRecognizer
+from .q2l import Q2L, Q2LTransformer
+from .resnet import ResNet, build_resnet, feature_dim
+from .spatial_cnn import KDCrossTaskAttention, SpatialCNN
+from .swin import SwinTransformer, build_swin, swin_feature_dim
+from .tcn import TemporalTCN
+from .tresnet import TResNet, build_tresnet
+
+__all__ = [
+    "Classifier", "GroupWiseLinear", "Mlp",
+    "CvT", "build_cvt",
+    "MSTCT",
+    "MoCoEncoder", "MoCoQueue", "TERLModel",
+    "EndToEndRecognizer",
+    "Q2L", "Q2LTransformer",
+    "ResNet", "build_resnet", "feature_dim",
+    "KDCrossTaskAttention", "SpatialCNN",
+    "SwinTransformer", "build_swin", "swin_feature_dim",
+    "TemporalTCN",
+    "TResNet", "build_tresnet",
+]

@@ -143,6 +143,8 @@ class TemporalTCN(nn.Module):
     num_target: int = 15
     use_fpn: bool = True
     causal: bool = False
+    hier: bool = False  # avg-pool (k7, s3) after each refinement — the
+    # reference's hierarchical pyramid (Temporal_tenco/network.py:145,156-158)
     mask_rate: float = 0.75
     channel_dropout: float = 0.5
     dtype: jnp.dtype = jnp.float32
@@ -167,6 +169,9 @@ class TemporalTCN(nn.Module):
         for r in range(self.num_refinements):
             f = TCNStage(self.num_layers_r, self.num_f_maps, self.causal,
                          self.dtype, name=f"refine{r}")(f, train=train)
+            if self.hier:
+                f = nn.avg_pool(f[:, :, None, :], (7, 1), strides=(3, 1),
+                                padding="VALID")[:, :, 0, :]
             feats.append(f)
 
         if self.use_fpn:

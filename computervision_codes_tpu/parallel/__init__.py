@@ -1,0 +1,25 @@
+from .context import (
+    all_gather_keys,
+    halo_exchange,
+    sequence_parallel_attention,
+    sequence_parallel_dilated_conv,
+)
+from .mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    SEQ_AXIS,
+    batch_sharding,
+    make_mesh,
+    replicate,
+    replicated,
+    seq_sharding,
+    shard_batch,
+)
+
+__all__ = [
+    "DATA_AXIS", "SEQ_AXIS", "MODEL_AXIS",
+    "make_mesh", "batch_sharding", "seq_sharding", "replicated",
+    "shard_batch", "replicate",
+    "sequence_parallel_attention", "sequence_parallel_dilated_conv",
+    "halo_exchange", "all_gather_keys",
+]

@@ -114,3 +114,18 @@ def test_mstct_train_dropout(rng):
     a = model.apply(variables, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
     b = model.apply(variables, x, train=True, rngs={"dropout": jax.random.PRNGKey(2)})
     assert not np.allclose(np.asarray(a["logits"]), np.asarray(b["logits"]))
+
+
+def test_tcn_hier_pyramid(rng):
+    from computervision_codes_tpu.models.tcn import TemporalTCN
+
+    model = TemporalTCN(num_layers_pg=2, num_layers_r=2, num_refinements=3,
+                        num_f_maps=8, num_classes=4, hier=True,
+                        channel_dropout=0.0)
+    x = jnp.asarray(rng.standard_normal((1, 100, 8)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    lengths = [l.shape[1] for l in out["ivt"]]
+    # FPN upsamples everything back to each level's own length; levels
+    # shrink by the (k7, s3) pooling between refinements
+    assert lengths[0] == 100 and lengths[1] < 100 and lengths[3] < lengths[2]
