@@ -69,7 +69,19 @@ def common_parser(description: str) -> argparse.ArgumentParser:
                    help="feature-bus root (default <data_dir>/data_feats)")
     p.add_argument("--dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the _latest checkpoint (full train "
+                        "state incl. optimizer/schedule — improvement over "
+                        "the reference's weights-only manual resume)")
     return p
+
+
+def maybe_resume(flags, ckpt, state, logger):
+    if getattr(flags, "resume", False) and ckpt.exists("latest"):
+        state = ckpt.restore(state, tag="latest")
+        logger.log(f"Resumed from {ckpt._path('latest')} at step "
+                   f"{int(state.step)}")
+    return state
 
 
 def seed_everything(seed: int) -> jax.Array:

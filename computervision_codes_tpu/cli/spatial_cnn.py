@@ -86,6 +86,7 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
     state = create_train_state(model, tx, rng, init_args)
     if flags.pretrain_dir:
         state = CheckpointManager(flags.pretrain_dir, modelname).restore(state)
+    state = common.maybe_resume(flags, ckpt, state, logger)
 
     pos_weights = {"i": TOOL_POS_WEIGHT, "v": VERB_POS_WEIGHT,
                    "t": TARGET_POS_WEIGHT}
@@ -105,14 +106,17 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
     result = {}
 
     if flags.train:
+        from ..data.prefetch import prefetch_to_device
+
         for epoch in range(flags.epochs):
             logger.log(f"Training | epoch {epoch}", end=" | ")
-            for batch in batch_iterator(dataset, split.train, flags.batch,
-                                        train=True, seed=flags.seed + epoch,
-                                        teacher_dim=flags.teacher_dim,
-                                        drop_last=False, pad_last=True):
-                jb = {k: jnp.asarray(v) for k, v in batch.items()
-                      if k != "valid"}
+            stream = batch_iterator(dataset, split.train, flags.batch,
+                                    train=True, seed=flags.seed + epoch,
+                                    teacher_dim=flags.teacher_dim,
+                                    drop_last=False, pad_last=True)
+            stream = ({k: v for k, v in b.items() if k != "valid"}
+                      for b in stream)
+            for jb in prefetch_to_device(stream):
                 state, m = train_step(state, jb)
             logger.scalars("train/loss",
                            {k: float(v) for k, v in m.items()}, epoch)
