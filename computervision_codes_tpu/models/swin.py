@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ..ops.window_attention import window_attention_fused
 from .common import DropPath, Mlp, trunc_normal_init
 
 VARIANTS = {
@@ -91,6 +92,9 @@ class WindowAttention(nn.Module):
     dim: int
     window: int
     num_heads: int
+    use_fused_kernel: bool = False  # measured SLOWER than XLA's batched
+    # matmuls at Swin's tiny (N=49/144, d=32) windows — see docs/BENCH.md;
+    # kept as an option for larger-window variants
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -110,15 +114,21 @@ class WindowAttention(nn.Module):
         idx = _relative_position_index(self.window).reshape(-1)
         bias = table[idx].reshape(n, n, h).transpose(2, 0, 1)  # (h, N, N)
 
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q * (hd ** -0.5), k)
-        attn = attn + bias[None].astype(attn.dtype)
-        if mask is not None:
-            nw = mask.shape[0]
-            attn = attn.reshape(bw // nw, nw, h, n, n) + \
-                mask[None, :, None].astype(attn.dtype)
-            attn = attn.reshape(bw, h, n, n)
-        attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        if self.use_fused_kernel:
+            nw = mask.shape[0] if mask is not None else 1
+            out = window_attention_fused(q, k, v, bias.astype(self.dtype),
+                                         mask, nw)
+        else:
+            attn = jnp.einsum("bhnd,bhmd->bhnm", q * (hd ** -0.5), k)
+            attn = attn + bias[None].astype(attn.dtype)
+            if mask is not None:
+                nw = mask.shape[0]
+                attn = attn.reshape(bw // nw, nw, h, n, n) + \
+                    mask[None, :, None].astype(attn.dtype)
+                attn = attn.reshape(bw, h, n, n)
+            attn = nn.softmax(attn.astype(jnp.float32),
+                              axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(bw, n, c)
         return nn.Dense(c, dtype=self.dtype, kernel_init=trunc_normal_init(),
                         name="proj")(out)

@@ -96,3 +96,46 @@ def test_blur_pool_shape_and_smoothing(rng):
     const = jnp.ones((1, 8, 8, 2))
     yc = blur_pool(const)
     np.testing.assert_allclose(np.asarray(yc[0, 1:3, 1:3]), 1.0, rtol=1e-6)
+
+
+def test_window_attention_pallas_matches_reference(rng):
+    from computervision_codes_tpu.ops.window_attention import (
+        window_attention_pallas,
+        window_attention_reference,
+    )
+
+    bw, h, n, d = 6, 3, 49, 32
+    nw = 3
+    q = jnp.asarray(rng.standard_normal((bw, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((bw, h, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((bw, h, n, d)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((h, n, n)) * 0.1, jnp.float32)
+    mask = jnp.asarray(
+        np.where(rng.random((nw, n, n)) < 0.2, -100.0, 0.0), jnp.float32)
+    want = window_attention_reference(q, k, v, bias, mask, nw=nw)
+    got = window_attention_pallas(q, k, v, bias, mask, nw=nw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+    # no-mask path
+    want2 = window_attention_reference(q, k, v, bias)
+    got2 = window_attention_pallas(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), atol=2e-5)
+
+
+def test_window_attention_fused_grad(rng):
+    from computervision_codes_tpu.ops.window_attention import (
+        window_attention_fused,
+        window_attention_reference,
+    )
+
+    bw, h, n, d = 2, 2, 16, 8
+    q = jnp.asarray(rng.standard_normal((bw, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((bw, h, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((bw, h, n, d)), jnp.float32)
+    bias = jnp.zeros((h, n, n), jnp.float32)
+    mask = jnp.zeros((1, n, n), jnp.float32)
+
+    g = jax.grad(lambda q: jnp.sum(
+        window_attention_fused(q, k, v, bias, mask, 1) ** 2))(q)
+    want = jax.grad(lambda q: jnp.sum(
+        window_attention_reference(q, k, v, bias, mask, nw=1) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(want), atol=1e-4)
