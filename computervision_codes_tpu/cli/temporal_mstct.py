@@ -59,6 +59,9 @@ def parse_flags(argv: Optional[Sequence[str]] = None):
     p.add_argument("--head", type=int, default=8)
     p.add_argument("--mlp_ratio", type=float, default=8.0)
     p.add_argument("--final_embedding_dim", type=int, default=512)
+    p.add_argument("--log_train_map", action="store_true",
+                   help="log per-epoch train mAP (the reference logs train "
+                        "mAP every batch, run.py:159-196)")
     flags, _ = p.parse_known_args(argv)
     if flags.loss_type == "all":
         flags.loss_type = "ivt"
@@ -146,6 +149,7 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
     from ..metrics import Recognition
 
     metric = Recognition(num_classes)
+    train_metric = Recognition(num_classes)
     logger.run_header("temporal_mstct", modelname, flags.version, flags.batch,
                       f"task {task} dims {flags.inter_channels}")
     result = {}
@@ -170,7 +174,17 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
                 state, m = train_step(state, {
                     "features": jnp.asarray(feats),
                     "labels": jnp.asarray(labels)})
-            logger.scalars("train/loss", {"loss": float(m["loss"])}, epoch)
+                if flags.log_train_map:
+                    probs, _ = eval_fn(state, jnp.asarray(feats))
+                    for wi, w in enumerate(wins):
+                        train_metric.update(labels[wi][: w.length],
+                                            np.asarray(probs[wi][: w.length]))
+                        train_metric.video_end()
+            scalars = {"loss": float(m["loss"])}
+            if flags.log_train_map:
+                scalars["train_mAP"] = train_metric.compute_video_AP()["mAP"]
+                train_metric.reset_global()
+            logger.scalars("train/loss", scalars, epoch)
             if epoch % flags.val_interval == 0:
                 metric.reset_global()
                 run_eval(split.val, metric)
