@@ -126,11 +126,12 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
                 logger.log(f"Evaluating @ epoch: {epoch}")
                 common.evaluate_videos(run_batch, dataset, split.val,
                                        flags.batch, metrics)
-                selector = flags.loss_type if flags.loss_type in "ivt" and \
-                    len(flags.loss_type) == 1 else "ivt"
-                score = metrics[selector].compute_video_AP()["mAP"] \
-                    if selector != "ivt" else \
-                    metrics["ivt"].compute_video_AP()["mAP"]
+                # checkpoint-selector metric: the trained task for
+                # single-task runs, disentangled ivt otherwise
+                # (reference run.py:425-432)
+                selector = flags.loss_type if flags.loss_type in \
+                    ("i", "v", "t") else "ivt"
+                score = metrics[selector].compute_video_AP()["mAP"]
                 behaviour = ckpt.update(state, score, epoch, logger.logfile)
                 table = common.compute_map_table(metrics, flags.loss_type,
                                                  set_chlg)

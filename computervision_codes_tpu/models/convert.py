@@ -60,14 +60,20 @@ def convert_torchvision_resnet(sd: Dict[str, np.ndarray],
     stats: Dict = {}
     frozen: Dict = {}
 
-    def put_bn(name: str, prefix: str):
+    def put_bn(prefix: str, *path: str):
+        """Place one BN's tensors under the nested ``path``."""
         p, s = _bn(sd, prefix)
         if frozen_bn:
-            frozen[name] = {"scale": p["scale"], "bias": p["bias"],
-                            "mean": s["mean"], "var": s["var"]}
+            dst = frozen
+            for key in path[:-1]:
+                dst = dst.setdefault(key, {})
+            dst[path[-1]] = {**p, **s}
         else:
-            params[name] = p
-            stats[name] = s
+            for tree, leaf in ((params, p), (stats, s)):
+                dst = tree
+                for key in path[:-1]:
+                    dst = dst.setdefault(key, {})
+                dst[path[-1]] = leaf
 
     params["conv1"] = {"kernel": _conv(sd["conv1.weight"])}
     put_bn("bn1", "bn1")
@@ -77,37 +83,23 @@ def convert_torchvision_resnet(sd: Dict[str, np.ndarray],
         for bi in range(blocks):
             t = f"layer{si + 1}.{bi}"
             name = f"layer{si + 1}_{bi}"
-            block: Dict = {}
-            for ci in range(1, n_convs + 1):
-                block[f"conv{ci}"] = {"kernel": _conv(sd[f"{t}.conv{ci}.weight"])}
+            block: Dict = {
+                f"conv{ci}": {"kernel": _conv(sd[f"{t}.conv{ci}.weight"])}
+                for ci in range(1, n_convs + 1)
+            }
             params[name] = block
             for ci in range(1, n_convs + 1):
-                put_bn_block(name, f"bn{ci}", f"{t}.bn{ci}",
-                             params, stats, frozen, sd, frozen_bn)
+                put_bn(f"{t}.bn{ci}", name, f"bn{ci}")
             if f"{t}.downsample.0.weight" in sd:
-                params[name]["downsample_conv"] = {
+                block["downsample_conv"] = {
                     "kernel": _conv(sd[f"{t}.downsample.0.weight"])}
-                put_bn_block(name, "downsample_bn", f"{t}.downsample.1",
-                             params, stats, frozen, sd, frozen_bn)
+                put_bn(f"{t}.downsample.1", name, "downsample_bn")
     out = {"params": params}
     if frozen_bn:
-        # merge nested frozen entries collected at top level
         out["frozen"] = frozen
     else:
         out["batch_stats"] = stats
     return out
-
-
-def put_bn_block(block_name: str, bn_name: str, prefix: str, params: Dict,
-                 stats: Dict, frozen: Dict, sd: Dict, frozen_bn: bool):
-    p, s = _bn(sd, prefix)
-    if frozen_bn:
-        frozen.setdefault(block_name, {})[bn_name] = {
-            "scale": p["scale"], "bias": p["bias"],
-            "mean": s["mean"], "var": s["var"]}
-    else:
-        params.setdefault(block_name, {})[bn_name] = p
-        stats.setdefault(block_name, {})[bn_name] = s
 
 
 def convert_swin(sd: Dict[str, np.ndarray], depths,

@@ -1,0 +1,52 @@
+"""End-to-end CLI smoke: train/eval/dump the spatial stage, then the TCN
+stage over the dumped features — the minimum two-stage pipeline through the
+real driver surface on a tiny synthetic dataset."""
+
+import numpy as np
+import pytest
+
+from computervision_codes_tpu.data.splits import resolve_split
+from computervision_codes_tpu.data.synthetic import write_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def tiny_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("cholect"))
+    split = resolve_split("cholect45-crossval", 1)
+    write_synthetic_dataset(root, split.all_videos, frames_per_video=2,
+                            height=32, width=56, seed=1)
+    return root
+
+
+def test_two_stage_pipeline_smoke(tiny_root, tmp_path):
+    from computervision_codes_tpu.cli import spatial_cnn, temporal_tcn
+
+    ckpt_root = str(tmp_path / "ckpt")
+    res = spatial_cnn.main([
+        "-t", "-e", "-d", "--data_dir", tiny_root, "-k", "1",
+        "--loss_type", "ivt", "--epochs", "1", "-b", "8",
+        "--image_height", "32", "--image_width", "56",
+        "--version", "smoke", "--ckpt_root", ckpt_root,
+        "--val_interval", "99",
+    ])
+    assert 0.0 <= res["test_mAP"]["ivt"] <= 1.0
+    assert res["dump_path"].endswith("k1_feats.pkl")
+
+    res2 = temporal_tcn.main([
+        "-t", "-e", "--data_dir", tiny_root, "-k", "1",
+        "--feats_version", "smoke", "--epochs", "1",
+        "--num_layers_PG", "2", "--num_layers_R", "2", "--num_f_maps", "8",
+        "--version", "smoke", "--ckpt_root", ckpt_root,
+        "--val_interval", "99",
+    ])
+    assert 0.0 <= res2["test_mAP"]["ivt"] <= 1.0
+
+
+def test_prefetch_to_device(rng):
+    from computervision_codes_tpu.data.prefetch import prefetch_to_device
+
+    batches = [{"x": rng.standard_normal((2, 3)).astype(np.float32)}
+               for _ in range(5)]
+    out = list(prefetch_to_device(iter(batches), depth=2))
+    assert len(out) == 5
+    np.testing.assert_allclose(np.asarray(out[3]["x"]), batches[3]["x"])
