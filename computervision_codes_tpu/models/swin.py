@@ -208,6 +208,8 @@ class SwinTransformer(nn.Module):
     dropout: float = 0.0
     patch_norm: bool = True
     num_classes: int = 0  # 0 = headless (Q2L strips the head)
+    remat: bool = False  # rematerialize blocks (jax.checkpoint) — trades
+    # FLOPs for HBM so SwinL-384 trains on one chip at useful batch sizes
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -222,12 +224,14 @@ class SwinTransformer(nn.Module):
 
         total = sum(self.depths)
         dpr = np.linspace(0, self.drop_path_rate, total)
+        block_cls = nn.remat(SwinBlock, static_argnums=(2,)) if self.remat \
+            else SwinBlock
         bi = 0
         for si, depth in enumerate(self.depths):
             dim = self.embed_dim * (2 ** si)
             for d in range(depth):
                 shift = 0 if d % 2 == 0 else self.window_size // 2
-                x = SwinBlock(dim=dim, num_heads=self.num_heads[si],
+                x = block_cls(dim=dim, num_heads=self.num_heads[si],
                               window=self.window_size, shift=shift,
                               mlp_ratio=self.mlp_ratio,
                               drop_path=float(dpr[bi]), dropout=self.dropout,

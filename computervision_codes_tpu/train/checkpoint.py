@@ -11,8 +11,9 @@ Improvements over the reference (flag-gated, on by default):
     model weights only and restarts schedules (SURVEY.md §5 checkpoint);
   * best score survives restarts via a json sidecar.
 
-Format: flax msgpack (no external deps); files are
-``<dir>/<name>.msgpack`` + ``<dir>/<name>.json`` metadata.
+Format: flax msgpack by default (single file, no external deps);
+``backend="orbax"`` switches to orbax-checkpoint directories (async-capable,
+multi-host-safe — the right choice for sharded multi-chip state).
 """
 
 from __future__ import annotations
@@ -27,7 +28,10 @@ from flax import serialization
 
 class CheckpointManager:
     def __init__(self, directory: str, modelname: str,
-                 save_optimizer: bool = True):
+                 save_optimizer: bool = True, backend: str = "msgpack"):
+        if backend not in ("msgpack", "orbax"):
+            raise ValueError(f"unknown checkpoint backend {backend!r}")
+        self.backend = backend
         self.dir = directory
         self.modelname = modelname
         self.save_optimizer = save_optimizer
@@ -40,7 +44,8 @@ class CheckpointManager:
 
     def _path(self, tag: str) -> str:
         suffix = f"_{tag}" if tag else ""
-        return os.path.join(self.dir, f"{self.modelname}{suffix}.msgpack")
+        ext = ".msgpack" if self.backend == "msgpack" else ".orbax"
+        return os.path.join(self.dir, f"{self.modelname}{suffix}{ext}")
 
     def _payload(self, state) -> Any:
         if self.save_optimizer:
@@ -49,6 +54,13 @@ class CheckpointManager:
 
     def save(self, state, tag: str = "") -> str:
         path = self._path(tag)
+        if self.backend == "orbax":
+            import orbax.checkpoint as ocp
+
+            with ocp.PyTreeCheckpointer() as ckptr:
+                ckptr.save(os.path.abspath(path), self._payload(state),
+                           force=True)
+            return path
         with open(path, "wb") as f:
             f.write(serialization.to_bytes(self._payload(state)))
         return path
@@ -72,6 +84,16 @@ class CheckpointManager:
     def restore(self, state, tag: str = ""):
         """Restore into a template state (partial restore when params-only)."""
         path = self._path(tag)
+        if self.backend == "orbax":
+            import orbax.checkpoint as ocp
+
+            with ocp.PyTreeCheckpointer() as ckptr:
+                restored = ckptr.restore(os.path.abspath(path),
+                                         item=self._payload(state))
+            if self.save_optimizer:
+                return restored
+            return state.replace(params=restored["params"],
+                                 batch_stats=restored["batch_stats"])
         with open(path, "rb") as f:
             data = f.read()
         if self.save_optimizer:

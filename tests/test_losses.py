@@ -159,3 +159,20 @@ def test_tcn_fusion_loss(rng):
     # manual level sum for ivt
     manual = sum(float(bce_with_logits(l[0], labels["ivt"])) for l in levels)
     np.testing.assert_allclose(float(parts["ivt"]), manual, rtol=1e-5)
+
+
+def test_interpolate_1d_matches_torch(rng):
+    """torch F.interpolate parity for the FPN upsample ('linear',
+    align_corners=False) and the fusion-loss label resize ('nearest') —
+    Temporal_tenco/network.py:95-96 and run.py:173-175."""
+    from computervision_codes_tpu.models.common import interpolate_1d
+
+    x = rng.standard_normal((2, 5, 13)).astype(np.float32)
+    for size in (7, 13, 29, 40):
+        for mode in ("linear", "nearest"):
+            kwargs = {"align_corners": False} if mode == "linear" else {}
+            want = F.interpolate(torch.tensor(x), size=size, mode=mode,
+                                 **kwargs).numpy()
+            got = np.asarray(interpolate_1d(jnp.asarray(x), size, mode))
+            np.testing.assert_allclose(got, want, atol=1e-5,
+                                       err_msg=f"{mode} {size}")

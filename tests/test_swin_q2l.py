@@ -98,3 +98,23 @@ def test_q2l_full_model(rng, loss_type):
         assert "transformer" in variables["params"]
     else:
         assert float(jnp.sum(jnp.abs(out["logits"]["ivt"]))) == 0.0
+
+
+def test_swin_remat_grad_matches(rng):
+    """remat=True must give identical outputs and gradients (just cheaper
+    memory) — validates the jax.checkpoint wiring."""
+    kw = dict(embed_dim=8, depths=(1, 1), num_heads=(1, 2), window_size=4,
+              drop_path_rate=0.0)
+    a = SwinTransformer(**kw, remat=False)
+    b = SwinTransformer(**kw, remat=True)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 3)), jnp.float32)
+    va = a.init(jax.random.PRNGKey(0), x)
+
+    def loss(model, v):
+        return jnp.sum(model.apply(v, x)["pooled"] ** 2)
+
+    la, ga = jax.value_and_grad(lambda v: loss(a, v))(va)
+    lb, gb = jax.value_and_grad(lambda v: loss(b, v))(va)
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-6)
+    for pa, pb in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=1e-5)

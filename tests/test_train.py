@@ -169,3 +169,14 @@ def test_logger_events(tmp_path):
     with open(lg.logfile) as f:
         content = f.read()
     assert "JAX/TPU" in content and content.count("*") > 20
+
+
+def test_checkpoint_orbax_backend(tmp_path, tiny_spatial):
+    model, state = tiny_spatial
+    mgr = CheckpointManager(str(tmp_path), "m_orbax", backend="orbax")
+    assert mgr.update(state, 0.5, epoch=0) == "increased"
+    restored = mgr.restore(state)
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(restored.step) == int(state.step)
