@@ -47,6 +47,18 @@ def available() -> bool:
     return load_library() is not None
 
 
+def enabled() -> bool:
+    """Use the native plane by default only where it wins: the scalar C++
+    resampler beats PIL through GIL-free threading (>=4 host cores), not
+    single-threaded throughput (PIL's SIMD fixed-point resize is faster
+    one-core — measured 4x, docs/BENCH.md). CVC_NATIVE_DECODE=1/0 overrides.
+    """
+    flag = os.environ.get("CVC_NATIVE_DECODE")
+    if flag is not None:
+        return flag == "1" and available()
+    return available() and (os.cpu_count() or 1) >= 4
+
+
 def _cfloats(arr) -> "ctypes.POINTER(ctypes.c_float)":
     return np.ascontiguousarray(arr, np.float32).ctypes.data_as(
         ctypes.POINTER(ctypes.c_float))

@@ -137,7 +137,7 @@ def batch_iterator(dataset: CholecDataset, videos: Sequence[str],
     if not train:
         from . import native as native_mod
 
-        use_native = native_mod.available()
+        use_native = native_mod.enabled()
 
     def producer(q: queue.Queue):
         # exceptions are forwarded to the consumer (a silently dying worker
