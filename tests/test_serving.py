@@ -1,0 +1,24 @@
+import numpy as np
+
+from computervision_codes_tpu.serving import InferenceSession
+
+
+def test_inference_session_roundtrip(rng):
+    sess = InferenceSession.create(batch=1, clip_len=4, height=32, width=56)
+    clips = rng.integers(0, 256, (1, 4, 32, 56, 3)).astype(np.uint8)
+    probs = sess.predict(clips)
+    assert probs["ivt"].shape == (1, 4, 100)
+    assert probs["i"].shape == (1, 4, 6)
+    assert 0.0 <= probs["ivt"].max() <= 1.0
+    # pre-normalized float input takes the other branch
+    norm = rng.standard_normal((1, 4, 32, 56, 3)).astype(np.float32)
+    probs2 = sess.predict(norm)
+    assert np.isfinite(probs2["ivt"]).all()
+
+
+def test_inference_session_shape_guard(rng):
+    import pytest
+
+    sess = InferenceSession.create(batch=1, clip_len=4, height=32, width=56)
+    with pytest.raises(ValueError):
+        sess.predict(np.zeros((1, 8, 32, 56, 3)))
