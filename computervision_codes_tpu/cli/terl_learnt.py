@@ -118,7 +118,7 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
     tx = build_sgd(sched, flags.weight_decay)
     example = jnp.zeros((1, flags.img_size, flags.img_size, 3), jnp.float32)
     state = create_terl_state(model, tx, rng, example,
-                              queue_size=flags.moco_k)
+                              queue_size=flags.moco_k, ht_masks=ht_masks)
 
     max_anchors = flags.batch * flags.max_anchors_per_image
     train_step = make_terl_train_step(

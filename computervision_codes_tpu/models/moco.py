@@ -186,12 +186,27 @@ class TERLModel(nn.Module):
         return jnp.mean(maps, axis=(1, 2)), maps
 
 
-def apply_cam_ivt(encoder_params, maps: jnp.ndarray) -> jnp.ndarray:
-    """Apply the encoder's cam_ivt 1x1 conv to anchor maps -> (A, n_ivt)."""
-    width = encoder_params["cam_ivt"]["kernel"].shape[-1]
+def apply_cam_ivt(encoder_params, maps: jnp.ndarray,
+                  ht_mask=None) -> jnp.ndarray:
+    """Apply the encoder's cam_ivt 1x1 conv to anchor maps -> (A, n_ivt).
+
+    Under --ht there is no single cam_ivt head (NOTE: the reference's y_tail
+    also calls self.cam_ivt in ht mode, moco.py:361, which does not exist
+    there — --ht + --mlp would crash the reference); here the head/tail
+    convs are combined with the class masks like the forward path.
+    """
+    if "cam_ivt" in encoder_params:
+        width = encoder_params["cam_ivt"]["kernel"].shape[-1]
+        out = nn.Conv(width, (1, 1)).apply(
+            {"params": encoder_params["cam_ivt"]}, maps)
+        return jnp.mean(out, axis=(1, 2))
+    hm, tm = ht_mask
+    width = encoder_params["cam_ivt_head"]["kernel"].shape[-1]
     conv = nn.Conv(width, (1, 1))
-    out = conv.apply({"params": encoder_params["cam_ivt"]}, maps)
-    return jnp.mean(out, axis=(1, 2))
+    out_h = conv.apply({"params": encoder_params["cam_ivt_head"]}, maps)
+    out_t = conv.apply({"params": encoder_params["cam_ivt_tail"]}, maps)
+    return (jnp.mean(out_h, axis=(1, 2)) * jnp.asarray(hm)
+            + jnp.mean(out_t, axis=(1, 2)) * jnp.asarray(tm))
 
 
 # ---------------------------------------------------------------------------

@@ -50,7 +50,8 @@ class TERLTrainState(train_state.TrainState):
 
 
 def create_terl_state(model: TERLModel, tx, rng, example_images,
-                      queue_size: int = 16384) -> TERLTrainState:
+                      queue_size: int = 16384,
+                      ht_masks=None) -> TERLTrainState:
     from ..models.swin import swin_feature_dim
 
     # the queue stores pooled disentangled features (backbone channels) —
@@ -60,8 +61,10 @@ def create_terl_state(model: TERLModel, tx, rng, example_images,
     if model.moco_dim != want:
         raise ValueError(f"moco_dim must equal the backbone feature dim "
                          f"({want} for {model.backbone}), got {model.moco_dim}")
-    variables = model.init(rng, example_images)  # encoder params
-    enc_out = model.apply(variables, example_images, method=TERLModel.encode)
+    variables = model.init(rng, example_images,
+                           ht_masks=ht_masks)  # encoder params
+    enc_out = model.apply(variables, example_images, ht_masks=ht_masks,
+                          method=TERLModel.encode)
     v2 = model.init(rng, enc_out, jnp.zeros(1, jnp.int32),
                     jnp.zeros(1, jnp.int32), method=TERLModel.disentangle)
     params = {**variables["params"], **v2["params"]}
@@ -144,7 +147,9 @@ def make_terl_train_step(model: TERLModel, w_con: float = 1.0,
             q_pooled, q_maps = state.apply_fn(
                 {"params": params}, enc_out, s_idx, c_idx,
                 method=TERLModel.disentangle)
-            y_tail = moco_mod.apply_cam_ivt(params["encoder"], q_maps)
+            y_tail = moco_mod.apply_cam_ivt(
+                params["encoder"], q_maps,
+                ht_mask=ht_masks["ivt"] if ht_masks else None)
             q = q_pooled / jnp.maximum(
                 jnp.linalg.norm(q_pooled, axis=-1, keepdims=True), 1e-12)
 
