@@ -19,6 +19,7 @@ from typing import Any, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..losses import (
     bce_with_logits,
@@ -43,11 +44,9 @@ def create_train_state(model, optimizer, rng, example_inputs,
 
 
 def count_params(params) -> int:
+    """Total parameter count (reference 'Total params %.2fM', run.py:506)."""
     return sum(int(np.prod(p.shape)) if hasattr(p, "shape") else 0
                for p in jax.tree.leaves(params))
-
-
-import numpy as np  # noqa: E402  (used by count_params)
 
 
 # ---------------------------------------------------------------------------
