@@ -116,7 +116,6 @@ class FPN1D(nn.Module):
     @nn.compact
     def __call__(self, feats: List[jnp.ndarray]) -> List[jnp.ndarray]:
         lat = conv1d(self.features, 1, dtype=self.dtype, name="latlayer1")
-        c1, c2, c3, p4 = feats
 
         def up_add(x, y):
             # interpolate over time; our layout is (B, T, C) -> transpose for
@@ -124,10 +123,11 @@ class FPN1D(nn.Module):
             xt = interpolate_1d(jnp.swapaxes(x, 1, 2), y.shape[1], "linear")
             return jnp.swapaxes(xt, 1, 2) + y
 
-        p3 = up_add(p4, lat(c3))
-        p2 = up_add(p3, lat(c2))
-        p1 = up_add(p2, lat(c1))
-        return [p1, p2, p3, p4]
+        # top-down: deepest feature unchanged, laterals added upward
+        out = [feats[-1]]
+        for c in reversed(feats[:-1]):
+            out.append(up_add(out[-1], lat(c)))
+        return out[::-1]
 
 
 class TemporalTCN(nn.Module):

@@ -102,3 +102,32 @@ def test_data_parallel_train_step_matches_single_device(rng):
     _, m_sharded = step(state_r, batch_s)
     np.testing.assert_allclose(float(m_sharded["loss"]),
                                float(m_single["loss"]), rtol=1e-4)
+
+
+def test_gspmd_context_parallel_mstct_and_tcn(seq_mesh, rng):
+    """Full temporal models under GSPMD sequence sharding match the
+    single-device result exactly (XLA inserts conv halos + attention
+    collectives automatically)."""
+    import jax.numpy as jnp
+
+    from computervision_codes_tpu.models.mstct import MSTCT
+    from computervision_codes_tpu.models.tcn import TemporalTCN
+    from computervision_codes_tpu.parallel.long_video import eval_sharded
+
+    feats = jnp.asarray(rng.standard_normal((1, 64, 12)), jnp.float32)
+
+    mstct = MSTCT(embed_dims=(8, 8, 8, 8), num_blocks=1, num_heads=2,
+                  mlp_ratio=1.0, final_embedding_dim=8, num_classes=5)
+    mv = mstct.init(jax.random.PRNGKey(0), feats)
+    want = mstct.apply(mv, feats)["logits"]
+    got = eval_sharded(lambda v, x: mstct.apply(v, x)["logits"], mv, feats,
+                       seq_mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    tcn = TemporalTCN(num_layers_pg=3, num_layers_r=2, num_refinements=2,
+                      num_f_maps=8, num_classes=5, channel_dropout=0.0)
+    tv = tcn.init(jax.random.PRNGKey(0), feats)
+    want = tcn.apply(tv, feats)["ivt"][0]
+    got = eval_sharded(lambda v, x: tcn.apply(v, x)["ivt"][0], tv, feats,
+                       seq_mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
