@@ -62,6 +62,9 @@ def parse_flags(argv: Optional[Sequence[str]] = None):
     p.add_argument("--log_train_map", action="store_true",
                    help="log per-epoch train mAP (the reference logs train "
                         "mAP every batch, run.py:159-196)")
+    p.add_argument("--seq_devices", type=int, default=0,
+                   help="context-parallel full-video eval: shard T over this "
+                        "many devices (0 = single device)")
     flags, _ = p.parse_known_args(argv)
     if flags.loss_type == "all":
         flags.loss_type = "ivt"
@@ -128,10 +131,29 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
         out = state.apply_fn({"params": state.params}, feats, train=False)
         return jax.nn.sigmoid(out["logits"]), out["feature"]
 
+    seq_mesh = None
+    if flags.seq_devices > 1:
+        from ..parallel.mesh import make_mesh
+
+        seq_mesh = make_mesh(n_data=1, n_seq=flags.seq_devices)
+
     def eval_video(video):
         seq = ds[video]
         batch = pad_sequence_batch(seq)
-        probs, feats = eval_fn(state, jnp.asarray(batch["features"]))
+        feats_in = jnp.asarray(batch["features"])
+        if seq_mesh is not None:
+            # context-parallel: T sharded over chips, GSPMD inserts the
+            # conv halos + attention collectives (parallel/long_video.py)
+            from ..parallel.long_video import eval_sharded
+
+            def apply(v, x):
+                out = model.apply(v, x, train=False)
+                return jax.nn.sigmoid(out["logits"]), out["feature"]
+
+            probs, feats = eval_sharded(apply, {"params": state.params},
+                                        feats_in, seq_mesh)
+        else:
+            probs, feats = eval_fn(state, feats_in)
         t = int(batch["length"])
         return np.asarray(probs[0][:t]), np.asarray(feats[0][:t]), seq
 

@@ -131,3 +131,16 @@ def test_gspmd_context_parallel_mstct_and_tcn(seq_mesh, rng):
     got = eval_sharded(lambda v, x: tcn.apply(v, x)["ivt"][0], tv, feats,
                        seq_mesh)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_ring_attention_exact(seq_mesh, rng):
+    import jax.numpy as jnp
+
+    from computervision_codes_tpu.parallel.ring_attention import ring_attention
+
+    q = jnp.asarray(rng.standard_normal((2, 3, 64, 16)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((2, 3, 64, 16)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, 3, 64, 16)), jnp.float32)
+    want = attention_reference(q, k, v)
+    got = ring_attention(q, k, v, seq_mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
