@@ -44,6 +44,10 @@ def parse_flags(argv: Optional[Sequence[str]] = None):
     p.add_argument("--rates", type=float, nargs="+", default=[1, 0, 0.1])
     p.add_argument("--teacher_feat_version", type=str, default="Q2L")
     p.add_argument("--teacher_pred_version", type=str, default="Q2LMSTCT")
+    p.add_argument("--dp_devices", type=int, default=0,
+                   help="data-parallel training over this many devices "
+                        "(0 = single device; gradients all-reduce over the "
+                        "mesh, BN moments are cross-replica)")
     flags, _ = p.parse_known_args(argv)
     return flags
 
@@ -105,6 +109,16 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
                       f"{flags.warmups} decay {flags.decay_rate}")
     result = {}
 
+    batch_sh = None
+    if flags.dp_devices > 1:
+        from ..parallel.mesh import batch_sharding, make_mesh, replicate
+
+        mesh = make_mesh(n_data=flags.dp_devices)
+        state = replicate(state, mesh)
+        batch_sh = batch_sharding(mesh)
+        if flags.batch % flags.dp_devices:
+            raise ValueError("--batch must be divisible by --dp_devices")
+
     if flags.train:
         from ..data.prefetch import prefetch_to_device
 
@@ -116,7 +130,7 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
                                     drop_last=False, pad_last=True)
             stream = ({k: v for k, v in b.items() if k != "valid"}
                       for b in stream)
-            for jb in prefetch_to_device(stream):
+            for jb in prefetch_to_device(stream, sharding=batch_sh):
                 state, m = train_step(state, jb)
             logger.scalars("train/loss",
                            {k: float(v) for k, v in m.items()}, epoch)
