@@ -117,12 +117,15 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
                   mlp_ratio=flags.mlp_ratio,
                   final_embedding_dim=flags.final_embedding_dim,
                   num_classes=num_classes, dtype=dtype)
+    steps_per_epoch = max(
+        1, -(-len(split.train) // flags.batch))  # ceil: window groups/epoch
     sched = reference_warmup_exp_schedule(
         flags.initial_learning_rates[2], flags.power, flags.warmups[2],
-        flags.decay_rate, steps_per_epoch=1)
+        flags.decay_rate, steps_per_epoch=steps_per_epoch)
     tx = build_sgd(sched, flags.weight_decay)
     example = jnp.zeros((1, flags.window, in_dim), jnp.float32)
     state = create_train_state(model, tx, rng_key, (example,))
+    state = common.maybe_resume(flags, ckpt, state, logger)
 
     train_step = make_mstct_train_step(model, task, pos_weight)
 

@@ -137,6 +137,7 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
     tx = build_sgd(sched, flags.weight_decay)
     example = jnp.zeros((1, DEFAULT_BUCKETS[0], in_dim), jnp.float32)
     state = create_train_state(model, tx, rng_key, (example,))
+    state = common.maybe_resume(flags, ckpt, state, logger)
 
     pos_weights = {"i": TOOL_POS_WEIGHT, "v": VERB_POS_WEIGHT,
                    "t": TARGET_POS_WEIGHT}

@@ -106,6 +106,10 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
     n_ivt = len(valid_classes)
     class_map = np.asarray(valid_classes, np.int64)
     tail_ivt_mask = tail_ivt_mask[class_map]
+    if ht_masks is not None and n_ivt != 100:
+        # the ivt CAM heads are n_ivt-wide under --drop_classes
+        hm, tm = ht_masks["ivt"]
+        ht_masks = dict(ht_masks, ivt=(hm[class_map], tm[class_map]))
 
     model = TERLModel(backbone=flags.backbone, moco_dim=flags.moco_dim,
                       mlp=flags.mlp, ht=flags.ht, num_triplet=n_ivt,
@@ -119,6 +123,7 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
     example = jnp.zeros((1, flags.img_size, flags.img_size, 3), jnp.float32)
     state = create_terl_state(model, tx, rng, example,
                               queue_size=flags.moco_k, ht_masks=ht_masks)
+    state = common.maybe_resume(flags, ckpt, state, logger)
 
     max_anchors = flags.batch * flags.max_anchors_per_image
     train_step = make_terl_train_step(

@@ -26,8 +26,15 @@ import numpy as np
 
 
 def video_key(video: str) -> str:
-    """'VID01' -> '01' (reference keys pickles by the last two chars)."""
-    return video[-2:]
+    """'VID01' -> '01', 'VID110' -> '110'.
+
+    The reference keys pickles by ``img_dir[-2:]`` (dataloader.py:219) which
+    COLLIDES for the 3-digit CholecT50 ids (VID110 -> '10' == VID10) — fine
+    for its CholecT45 experiments, silently corrupting for cholect50
+    variants. We key by the full id (identical to the reference for 2-digit
+    ids, unique for 3-digit ones).
+    """
+    return video[3:] if video.startswith("VID") else video[-2:]
 
 
 def artifact_name(fold: int, kind: str, task: str = "") -> str:

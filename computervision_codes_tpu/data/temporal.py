@@ -116,7 +116,12 @@ def pick_bucket(length: int, buckets: Sequence[int] = DEFAULT_BUCKETS) -> int:
     for b in buckets:
         if length <= b:
             return b
-    return buckets[-1]
+    # beyond the precomputed list: next power of two (never truncate — a
+    # truncated video would silently mis-score against full-length labels)
+    b = buckets[-1]
+    while b < length:
+        b *= 2
+    return b
 
 
 def pad_sequence_batch(seq: TemporalSequence,

@@ -24,32 +24,38 @@ from .bce import bce_with_logits
 
 
 def _resize_labels(labels: jnp.ndarray, length: int) -> jnp.ndarray:
-    # labels (T, C) -> (length, C) nearest (torch asymmetric rule)
-    if labels.shape[0] == length:
+    # labels (B, T, C) -> (B, length, C) nearest (torch asymmetric rule)
+    if labels.shape[1] == length:
         return labels
-    lt = interpolate_1d(labels.T[None], length, "nearest")[0]
-    return lt.T
+    lt = interpolate_1d(jnp.swapaxes(labels, 1, 2), length, "nearest")
+    return jnp.swapaxes(lt, 1, 2)
 
 
 def fpn_level_loss(levels: Sequence[jnp.ndarray], labels: jnp.ndarray,
                    pos_weight=None, frame_mask: Optional[jnp.ndarray] = None
                    ) -> jnp.ndarray:
-    """Sum of mean BCE over pyramid levels; levels are (B, T_l, C), labels (T, C).
+    """Sum of mean BCE over pyramid levels.
 
-    ``frame_mask`` (T,) optionally excludes padded frames (static-shape
-    batching of variable-length videos).
+    levels: (B, T_l, C); labels (T, C) or (B, T, C) — a (T, C) label is
+    broadcast across the batch. ``frame_mask`` (T,) excludes padded frames
+    (static-shape batching of variable-length videos); for pooled/hier
+    levels with T_l != T the mask is nearest-resized alongside the labels.
     """
+    if labels.ndim == 2:
+        labels = labels[None]
     total = 0.0
     for lvl in levels:
         la = _resize_labels(labels, lvl.shape[1])
-        if frame_mask is not None and lvl.shape[1] == labels.shape[0]:
-            w = frame_mask[:, None].astype(jnp.float32)
-            loss = bce_with_logits(lvl[0], la, pos_weight=pos_weight,
-                                   reduction="none")
-            total = total + jnp.sum(loss * w) / jnp.maximum(
-                jnp.sum(w) * la.shape[1], 1.0)
+        la = jnp.broadcast_to(la, (lvl.shape[0],) + la.shape[1:])
+        loss = bce_with_logits(lvl, la, pos_weight=pos_weight,
+                               reduction="none")
+        if frame_mask is not None:
+            fm = frame_mask.astype(jnp.float32)[None, :, None]
+            fm = _resize_labels(fm, lvl.shape[1])
+            total = total + jnp.sum(loss * fm) / jnp.maximum(
+                jnp.sum(fm) * lvl.shape[0] * la.shape[2], 1.0)
         else:
-            total = total + bce_with_logits(lvl[0], la, pos_weight=pos_weight)
+            total = total + jnp.mean(loss)
     return total
 
 

@@ -93,6 +93,11 @@ class Recognition:
         """Append a batch of frames (any array-likes of shape (B, num_class))."""
         targets = np.asarray(targets, dtype=np.float64).reshape(-1, self.num_class)
         predictions = np.asarray(predictions, dtype=np.float64).reshape(-1, self.num_class)
+        if targets.shape != predictions.shape:
+            raise ValueError(
+                f"targets {targets.shape} and predictions {predictions.shape}"
+                " must align frame-for-frame (a mismatch silently corrupts"
+                " per-video AP)")
         self.targets.append(targets)
         self.predictions.append(predictions)
 

@@ -163,7 +163,8 @@ class SwinBlock(nn.Module):
         else:
             mask = None
         windows = window_partition(x, w)
-        windows = WindowAttention(self.dim, w, self.num_heads, self.dtype,
+        windows = WindowAttention(self.dim, w, self.num_heads,
+                                  dtype=self.dtype,
                                   name="attn")(windows, mask, deterministic)
         x = window_reverse(windows, w, hp, wp)
         if shift:

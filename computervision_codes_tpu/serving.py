@@ -37,29 +37,30 @@ class InferenceSession:
 
     @staticmethod
     def _build(model, variables, batch, clip_len, height, width):
-        mean = jnp.asarray(IMAGENET_MEAN, jnp.bfloat16)
-        std = jnp.asarray(IMAGENET_STD, jnp.bfloat16)
+        mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+        std = jnp.asarray(IMAGENET_STD, jnp.float32)
 
-        def forward(variables, clips):
-            # accepts uint8 [0,255] or pre-normalized float
-            x = clips.astype(jnp.bfloat16)
-            x = jax.lax.cond(
-                jnp.max(jnp.abs(x)) > 8.0,  # uint8-range input -> normalize
-                lambda x: (x / 255.0 - mean) / std,
-                lambda x: x,
-                x,
-            )
-            out = model.apply(variables, x)
+        def forward(variables, clips, normalize):
+            # ``normalize`` is static: uint8 inputs are normalized on device
+            # (decided by dtype at predict() time — NOT by a data-dependent
+            # heuristic, which would misclassify near-black frames)
+            x = clips.astype(jnp.float32)
+            if normalize:
+                x = (x / 255.0 - mean) / std
+            out = model.apply(variables, x.astype(jnp.bfloat16))
             return {k: jax.nn.sigmoid(out[k].astype(jnp.float32))
                     for k in ("ivt", "i", "v", "t")}
 
-        shape = jax.ShapeDtypeStruct((batch, clip_len, height, width, 3),
-                                     jnp.bfloat16)
         var_shapes = jax.tree.map(
             lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), variables)
-        # AOT compile for the fixed serving shape; donate the clip buffer
-        compiled = jax.jit(forward, donate_argnums=(1,)).lower(
-            var_shapes, shape).compile()
+        # AOT compile both input dtypes for the fixed serving shape
+        jitted = jax.jit(forward, static_argnums=(2,), donate_argnums=(1,))
+        compiled = {}
+        for dtype, normalize in ((jnp.uint8, True), (jnp.bfloat16, False)):
+            shape = jax.ShapeDtypeStruct(
+                (batch, clip_len, height, width, 3), dtype)
+            compiled[normalize] = jitted.lower(var_shapes, shape,
+                                               normalize).compile()
         return compiled
 
     @classmethod
@@ -84,7 +85,8 @@ class InferenceSession:
         from .train.checkpoint import CheckpointManager
         from .train import build_sgd, create_train_state
 
-        model = EndToEndRecognizer(dtype=jnp.bfloat16)
+        model = EndToEndRecognizer(
+            network=kwargs.get("network", "resnet18"), dtype=jnp.bfloat16)
         template = create_train_state(
             model, build_sgd(1e-2), jax.random.PRNGKey(0),
             (jnp.zeros((1, 4, kwargs.get("height", 256),
@@ -96,11 +98,12 @@ class InferenceSession:
                                         else {})}, **kwargs)
 
     def predict(self, clips) -> Dict[str, np.ndarray]:
-        clips = jnp.asarray(clips, jnp.bfloat16)
+        normalize = np.asarray(clips).dtype == np.uint8
+        clips = jnp.asarray(clips, jnp.uint8 if normalize else jnp.bfloat16)
         if clips.shape != (self.batch, self.clip_len, self.height,
                            self.width, 3):
             raise ValueError(
                 f"session compiled for shape {(self.batch, self.clip_len, self.height, self.width, 3)}, "
                 f"got {clips.shape}")
-        out = self.compiled(self.variables, clips)
+        out = self.compiled[normalize](self.variables, clips)
         return {k: np.asarray(v) for k, v in out.items()}

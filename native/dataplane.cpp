@@ -115,9 +115,9 @@ Image decode_jpeg(const char* path) {
 
 Image decode(const char* path) {
   size_t n = std::strlen(path);
-  if (n >= 4 && (std::strcmp(path + n - 4, ".jpg") == 0 ||
-                 std::strcmp(path + n - 5 + (n >= 5), ".jpeg") == 0))
-    return decode_jpeg(path);
+  bool jpg = (n >= 4 && std::strcmp(path + n - 4, ".jpg") == 0) ||
+             (n >= 5 && std::strcmp(path + n - 5, ".jpeg") == 0);
+  if (jpg) return decode_jpeg(path);
   Image img = decode_png(path);
   if (!img.ok) img = decode_jpeg(path);  // extension lied
   return img;

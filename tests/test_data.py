@@ -62,4 +62,7 @@ def test_feature_store_npz(tmp_path):
 
 def test_video_key():
     assert video_key("VID01") == "01"
-    assert video_key("VID111") == "11"  # reference takes last 2 chars verbatim
+    # the reference's last-2-chars keying collides for 3-digit CholecT50 ids
+    # (VID110 vs VID10); ours keys the full id and stays unique
+    assert video_key("VID111") == "111"
+    assert video_key("VID110") != video_key("VID10")
