@@ -176,3 +176,25 @@ def test_interpolate_1d_matches_torch(rng):
             got = np.asarray(interpolate_1d(jnp.asarray(x), size, mode))
             np.testing.assert_allclose(got, want, atol=1e-5,
                                        err_msg=f"{mode} {size}")
+
+
+def test_fpn_loss_batched_and_hier_mask(rng):
+    """Regression: every batch element contributes; pooled (hier) levels
+    respect the frame mask (self-review findings)."""
+    from computervision_codes_tpu.losses.fusion import fpn_level_loss
+
+    T, C = 12, 5
+    labels = jnp.asarray((rng.random((T, C)) < 0.3).astype(np.float32))
+    lvl_b1 = jnp.asarray(rng.standard_normal((1, T, C)), jnp.float32)
+    lvl_b2 = jnp.concatenate([lvl_b1, lvl_b1 + 3.0], axis=0)
+    l1 = float(fpn_level_loss([lvl_b1], labels))
+    l2 = float(fpn_level_loss([lvl_b2], labels))
+    assert l2 != l1  # second batch element changes the loss
+
+    # hier level (different T) with a mask: masked frames must not leak in
+    pooled = jnp.asarray(rng.standard_normal((1, 5, C)), jnp.float32)
+    mask_full = jnp.ones(T)
+    mask_half = jnp.concatenate([jnp.ones(T // 2), jnp.zeros(T - T // 2)])
+    a = float(fpn_level_loss([pooled], labels, frame_mask=mask_full))
+    b = float(fpn_level_loss([pooled], labels, frame_mask=mask_half))
+    assert a != b and np.isfinite(a) and np.isfinite(b)

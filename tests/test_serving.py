@@ -22,3 +22,16 @@ def test_inference_session_shape_guard(rng):
     sess = InferenceSession.create(batch=1, clip_len=4, height=32, width=56)
     with pytest.raises(ValueError):
         sess.predict(np.zeros((1, 8, 32, 56, 3)))
+
+
+def test_serving_normalizes_dark_uint8_frames(rng):
+    """Regression: near-black uint8 clips must still be normalized (dtype
+    decides, not a data-dependent magnitude heuristic)."""
+    sess = InferenceSession.create(batch=1, clip_len=2, height=32, width=56)
+    dark = np.zeros((1, 2, 32, 56, 3), np.uint8)
+    bright = np.full((1, 2, 32, 56, 3), 255, np.uint8)
+    p_dark = sess.predict(dark)["ivt"]
+    p_bright = sess.predict(bright)["ivt"]
+    assert np.isfinite(p_dark).all()
+    # the two extremes must reach the model as different normalized values
+    assert not np.allclose(p_dark, p_bright)

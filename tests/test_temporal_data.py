@@ -106,3 +106,18 @@ def test_tail_stats():
     assert tail_triplet_classes(10, explicit=[1, 2]) == [1, 2]
     by_id = class_counts_sorted_by_id("i")
     assert by_id.shape == (6,)
+
+
+def test_bucket_beyond_list_never_truncates():
+    from computervision_codes_tpu.data.temporal import (
+        TemporalSequence,
+        pad_sequence_batch,
+        pick_bucket,
+    )
+
+    assert pick_bucket(9000) == 16384
+    seq = TemporalSequence("VID01", np.zeros((9000, 4), np.float32),
+                           {"ivt": np.zeros((9000, 100), np.float32)})
+    batch = pad_sequence_batch(seq)
+    assert batch["features"].shape[1] == 16384
+    assert int(batch["length"]) == 9000  # nothing truncated
