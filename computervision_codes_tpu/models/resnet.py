@@ -132,10 +132,9 @@ class ResNet(nn.Module):
                     dtype=self.dtype, kernel_init=_conv_init, name="conv1")(x)
         x = norm(name="bn1")(x, use_running_average=not train)
         x = nn.relu(x)
-        # torch MaxPool2d(3, stride=2, padding=1): pad with -inf then pool
-        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
-                    constant_values=-jnp.inf)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+        # torch MaxPool2d(3, stride=2, padding=1); flax max_pool pads with
+        # -inf internally (verified bit-identical to explicit -inf padding)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         stages = []
         for si, num_blocks in enumerate(self.stage_sizes):
             filters = 64 * (2 ** si)
