@@ -15,6 +15,8 @@ reference's O(T²) materialization.
 
 from __future__ import annotations
 
+from functools import partial
+
 import sys
 from typing import Optional, Sequence
 
@@ -72,7 +74,7 @@ def parse_flags(argv: Optional[Sequence[str]] = None):
 
 
 def make_mstct_train_step(model, task: str, pos_weight):
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch):
         state, rng = state.next_rng()
 

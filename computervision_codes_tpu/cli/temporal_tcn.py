@@ -14,6 +14,8 @@ Usage:
 
 from __future__ import annotations
 
+from functools import partial
+
 import sys
 import time
 from typing import Optional, Sequence
@@ -73,7 +75,7 @@ def make_loss_type_train_step(model, loss_type: str, comp_weight: float,
                               pos_weights):
     """Train step with the TCN_black loss_type branches (run.py:330-343)."""
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch):
         state, rng = state.next_rng()
 

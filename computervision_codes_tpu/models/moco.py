@@ -230,9 +230,12 @@ def init_queue(rng: jax.Array, k: int, dim: int) -> MoCoQueue:
     r1, r2, r3, r4 = jax.random.split(rng, 4)
     feats = jax.random.normal(r1, (k, dim))
     feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
-    zeros = jnp.zeros(k, jnp.int32)
+
+    def zeros():  # distinct buffers — a shared one breaks donation
+        return jnp.zeros(k, jnp.int32)
+
     return MoCoQueue(
-        feats=feats, l_ivt=zeros, l_i=zeros, l_v=zeros, l_t=zeros,
+        feats=feats, l_ivt=zeros(), l_i=zeros(), l_v=zeros(), l_t=zeros(),
         ptr=jnp.zeros((), jnp.int32),
         proto_i=jax.random.uniform(r2, (6, dim)),
         proto_v=jax.random.uniform(r3, (10, dim)),

@@ -25,6 +25,8 @@ key feature map.
 
 from __future__ import annotations
 
+import functools
+
 from typing import Any, Dict
 
 import jax
@@ -72,7 +74,9 @@ def create_terl_state(model: TERLModel, tx, rng, example_images,
                                 queue_size, model.moco_dim)
     return TERLTrainState.create(
         apply_fn=model.apply, params=params, tx=tx,
-        key_params=jax.tree.map(lambda x: x, params),
+        # a REAL copy: key_params must not alias params (donation would see
+        # the same buffer twice; EMA must also not mutate through aliasing)
+        key_params=jax.tree.map(lambda x: jnp.array(x, copy=True), params),
         queue=queue, rng=jax.random.fold_in(rng, 3))
 
 
@@ -105,7 +109,7 @@ def make_terl_train_step(model: TERLModel, w_con: float = 1.0,
         lg, tg, gamma_neg=2, gamma_pos=0, clip=0, eps=1e-5,
         reduction="mean_terl", sample_weight=w)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TERLTrainState, batch: Dict, epoch: jnp.ndarray):
         state, rng = state.next_rng()
         drop_rng, kcl_rng = jax.random.split(rng)

@@ -59,7 +59,7 @@ def make_spatial_train_step(model, loss_type: str = "all",
                             pos_weights: Optional[Dict[str, Any]] = None):
     pos_weights = pos_weights or {}
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         state, rng = state.next_rng()
 
@@ -128,7 +128,7 @@ def make_spatial_eval_step(model):
 def make_tcn_train_step(model, comp_weight: float = 0.1,
                         pos_weights: Optional[Dict] = None,
                         apply_mask: bool = True):
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         state, rng = state.next_rng()
 

@@ -95,10 +95,10 @@ def test_data_parallel_train_step_matches_single_device(rng):
         "label_ivt": jnp.asarray((rng.random((b, 100)) < 0.05).astype(np.float32)),
     }
     step = make_spatial_train_step(model, loss_type="ivt")
-    _, m_single = step(state, batch)
-
+    # replicate BEFORE stepping: the train step donates its state buffers
     state_r = replicate(state, mesh)
     batch_s = shard_batch(batch, mesh)
+    _, m_single = step(state, batch)
     _, m_sharded = step(state_r, batch_s)
     np.testing.assert_allclose(float(m_sharded["loss"]),
                                float(m_single["loss"]), rtol=1e-4)

@@ -12,7 +12,7 @@ from computervision_codes_tpu.train.terl import (
 )
 
 
-@pytest.fixture(scope="module")
+@pytest.fixture  # function-scoped: donated buffers cannot be shared
 def terl_setup():
     model = TERLModel(backbone="swin_nano_64", moco_dim=256, mlp=True)
     tx = build_sgd(1e-2)
@@ -45,7 +45,8 @@ def test_terl_train_step_full(terl_setup, rng):
     step = make_terl_train_step(model, w_epoch=1, kcl_k=2)
     batch = _batch(rng)
     ptr0 = int(state.queue.ptr)
-    key0 = state.key_params["encoder"]["cam_ivt"]["kernel"]
+    # materialize before stepping: the train step donates the state buffers
+    key0 = np.asarray(state.key_params["encoder"]["cam_ivt"]["kernel"])
     # warmup epoch
     state, m = step(state, batch, jnp.asarray(0))
     assert np.isfinite(float(m["loss"]))

@@ -74,7 +74,7 @@ def test_imbsam_combines_head_and_tail(rng):
                                rtol=1e-6)
 
 
-@pytest.fixture(scope="module")
+@pytest.fixture  # function-scoped: donated buffers cannot be shared
 def tiny_spatial():
     model = SpatialCNN(network="resnet18", loss_type="ivt")
     sched = reference_warmup_exp_schedule(0.01, 0.1, 2, 0.99, steps_per_epoch=2)
