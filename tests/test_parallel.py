@@ -95,8 +95,11 @@ def test_data_parallel_train_step_matches_single_device(rng):
         "label_ivt": jnp.asarray((rng.random((b, 100)) < 0.05).astype(np.float32)),
     }
     step = make_spatial_train_step(model, loss_type="ivt")
-    # replicate BEFORE stepping: the train step donates its state buffers
-    state_r = replicate(state, mesh)
+    # the train step donates its state buffers, and replicate() may alias on
+    # CPU — give the sharded run a deep copy
+    state_r = replicate(
+        jax.tree.map(lambda x: jnp.array(x, copy=True)
+                     if hasattr(x, "shape") else x, state), mesh)
     batch_s = shard_batch(batch, mesh)
     _, m_single = step(state, batch)
     _, m_sharded = step(state_r, batch_s)
