@@ -147,3 +147,59 @@ def test_ring_attention_exact(seq_mesh, rng):
     want = attention_reference(q, k, v)
     got = ring_attention(q, k, v, seq_mesh)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_terl_step_data_parallel_matches_single(rng):
+    """The TERL contrastive step under a sharded data axis matches the
+    single-device result (queue updates and anchor gathers included) — the
+    reference's concat_all_gather stub become a real multi-chip feature."""
+    import jax.numpy as jnp
+
+    from computervision_codes_tpu.models.moco import (
+        TERLModel,
+        select_tail_anchors,
+    )
+    from computervision_codes_tpu.train import build_sgd
+    from computervision_codes_tpu.train.terl import (
+        create_terl_state,
+        make_terl_train_step,
+    )
+
+    mesh = make_mesh(n_data=8)
+    model = TERLModel(backbone="swin_nano_64", moco_dim=256, mlp=True)
+    imgs = jnp.zeros((2, 64, 64, 3), jnp.float32)
+
+    def fresh_state():
+        return create_terl_state(model, build_sgd(1e-3),
+                                 jax.random.PRNGKey(0), imgs, queue_size=64)
+
+    b = 8
+    tail = np.zeros((b, 100))
+    tail[0, 5] = 1
+    tail[5, 42] = 1
+    s, c, v = select_tail_anchors(tail, 16)
+    batch = {
+        "image1": jnp.asarray(rng.standard_normal((b, 64, 64, 3)), jnp.float32),
+        "image2": jnp.asarray(rng.standard_normal((b, 64, 64, 3)), jnp.float32),
+        "anchor_sample": jnp.asarray(s),
+        "anchor_class": jnp.asarray(c),
+        "anchor_valid": jnp.asarray(v),
+    }
+    for key, n in (("i", 6), ("v", 10), ("t", 15), ("ivt", 100)):
+        batch[f"label_{key}"] = jnp.asarray(
+            (rng.random((b, n)) < 0.2).astype(np.float32))
+
+    step = make_terl_train_step(model, w_epoch=0, kcl_k=0)  # k=0: no sampling rng
+    _, m_single = step(fresh_state(), batch, jnp.asarray(1))
+
+    # images sharded over data; anchor index arrays replicated (they index
+    # into the global batch)
+    state_r = replicate(fresh_state(), mesh)
+    sh = batch_sharding(mesh)
+    rep = replicate
+    batch_s = dict(batch)
+    for key in ("image1", "image2"):
+        batch_s[key] = jax.device_put(batch[key], sh)
+    _, m_sharded = step(state_r, batch_s, jnp.asarray(1))
+    np.testing.assert_allclose(float(m_sharded["loss"]),
+                               float(m_single["loss"]), rtol=2e-4)
