@@ -40,3 +40,13 @@ def test_mha_grad_flows(rng):
     g = jax.grad(loss)(q)
     g_ref = jax.grad(lambda q: jnp.sum(attention_reference(q, k, v) ** 2))(q)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=2e-5)
+
+
+def test_flash_streaming_matches_reference(rng):
+    from computervision_codes_tpu.ops.attention import flash_attention_pallas
+
+    # t not a multiple of block_k; d unaligned
+    q, k, v = _qkv(rng, b=1, h=2, t=300, d=24)
+    ref = attention_reference(q, k, v)
+    got = flash_attention_pallas(q, k, v, block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
