@@ -5,15 +5,15 @@ TPU-native re-design of the reference MT4MTLKD student
 
   * ResNet backbone with explicit feature returns (no forward hooks);
   * four linear heads (i/v/t/ivt);
-  * the KD cross-task attention block re-derived: the reference stacks the
-    pooled student feature ``feat_dim`` times and einsums against the three
-    projected teacher features (network.py:55-71). Because every stacked row
-    equals the same student vector, the softmaxed attention weight is
-    *identical across channels* — it reduces to one scalar per (batch,
-    teacher): attn[b, n] = softmax_n(<s_b, m_n(t_n)_b> / sqrt(D)). We compute
-    exactly that (mathematically identical, one einsum instead of a D×D
-    stack), then re-project the attention-scaled student feature per task
-    with w_i/w_v/w_t into teacher space for the MSE feature-KD loss.
+  * the KD cross-task attention block computes the reference's exact math
+    without materializing the (B, D, D) stack (network.py:55-71): there,
+    ``stus[b, c, d] = s[b, c]`` (constant along d), so the einsum collapses
+    to ``attn[b, c, n] = softmax_n(s[b, c] * sum_d m_n(t_n)[b, d] / sqrt(D))``
+    — a PER-CHANNEL teacher weight whose softmax sharpness scales with the
+    channel value s[b, c]. We compute the teacher column-sums once (B, 3)
+    and broadcast against s, then re-project the per-channel attention-scaled
+    student feature with w_i/w_v/w_t into teacher space for the MSE
+    feature-KD loss. Torch parity: tests/test_kd_attention.py.
 
 Heads are always materialized (XLA prefers static structure); the driver
 selects which logits participate in the loss via ``loss_type`` — matching
@@ -49,13 +49,15 @@ class KDCrossTaskAttention(nn.Module):
             ],
             axis=-1,
         )  # (B, Ds, 3)
+        # Reference einsum with stus[b,c,d] = s[b,c]: only the teacher
+        # column-sums survive the d-contraction (network.py:61).
         scale = 1.0 / jnp.sqrt(jnp.asarray(self.student_dim, dtype=self.dtype))
-        attn = jnp.einsum("bd,bdn->bn", s * scale, teas)
-        attn = nn.softmax(attn, axis=-1)  # (B, 3)
+        tea_sums = teas.sum(axis=1) * scale  # (B, 3)
+        attn = nn.softmax(s[:, :, None] * tea_sums[:, None, :], axis=-1)  # (B, Ds, 3)
         out = {}
         for n, k in enumerate(("i", "v", "t")):
             out[k] = nn.Dense(self.teacher_dim, dtype=self.dtype, name=f"w{k}")(
-                s * attn[:, n : n + 1]
+                s * attn[:, :, n]
             )
         return out
 
