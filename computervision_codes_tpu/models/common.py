@@ -72,6 +72,12 @@ class GroupWiseLinear(nn.Module):
         return out
 
 
+def quick_gelu(x):
+    """x * sigmoid(1.702 x) — the CLIP-style activation the reference's CvT
+    uses (cls_cvt.py:50-52 QuickGELU via get_cls_model act_layer)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
 def gelu_exact(x):
     """Exact (erf) GELU — torch nn.GELU default, needed for weight-port
     parity with Swin/MS-TCT checkpoints (flax's default is tanh-approx)."""

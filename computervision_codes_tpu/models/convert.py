@@ -102,6 +102,117 @@ def convert_torchvision_resnet(sd: Dict[str, np.ndarray],
     return out
 
 
+_HF_CVT_RENAMES = (
+    (".embedding.convolution_embeddings.projection.", ".patch_embed.proj."),
+    (".embedding.convolution_embeddings.normalization.", ".patch_embed.norm."),
+    (".attention.attention.convolution_projection_query.convolution_projection.convolution.",
+     ".attn.conv_proj_q.conv."),
+    (".attention.attention.convolution_projection_key.convolution_projection.convolution.",
+     ".attn.conv_proj_k.conv."),
+    (".attention.attention.convolution_projection_value.convolution_projection.convolution.",
+     ".attn.conv_proj_v.conv."),
+    (".attention.attention.convolution_projection_query.convolution_projection.normalization.",
+     ".attn.conv_proj_q.bn."),
+    (".attention.attention.convolution_projection_key.convolution_projection.normalization.",
+     ".attn.conv_proj_k.bn."),
+    (".attention.attention.convolution_projection_value.convolution_projection.normalization.",
+     ".attn.conv_proj_v.bn."),
+    (".attention.attention.projection_query.", ".attn.proj_q."),
+    (".attention.attention.projection_key.", ".attn.proj_k."),
+    (".attention.attention.projection_value.", ".attn.proj_v."),
+    (".attention.output.dense.", ".attn.proj."),
+    (".intermediate.dense.", ".mlp.fc1."),
+    (".output.dense.", ".mlp.fc2."),
+    (".layernorm_before.", ".norm1."),
+    (".layernorm_after.", ".norm2."),
+)
+
+
+def _cvt_canonical(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Normalize an HF CvtModel/CvtForImageClassification state_dict onto
+    the official microsoft layout the reference loads
+    (Spatial_transformer/models/cls_cvt — keys stage{i}.blocks.{j}.*).
+    Official-layout dicts pass through unchanged."""
+    if not any(".encoder.stages." in k or k.startswith("encoder.stages.")
+               for k in sd):
+        return sd
+    out = {}
+    for k, v in sd.items():
+        k = k.removeprefix("cvt.")
+        k = k.replace("encoder.stages.", "stage")
+        # stage{i}.layers.{j}. -> stage{i}.blocks.{j}.
+        k = k.replace(".layers.", ".blocks.")
+        for old, new in _HF_CVT_RENAMES:
+            k = k.replace(old, new)
+        k = k.replace("layernorm.", "norm.")  # CvtForImageClassification
+        out[k] = v
+    return out
+
+
+def convert_cvt(sd: Dict[str, np.ndarray], depths) -> Dict:
+    """CvT state_dict (official microsoft / reference layout, or HF
+    transformers CvtModel) -> variables for models/cvt.py:CvT.
+
+    The reference loads CvT-w24-384x384-IN-22k.pth into its vendored
+    cls_cvt modules (Spatial_transformer/models/backbone.py:202-214); this
+    maps that layout onto the flax tree: depthwise conv OIHW (C,1,3,3) ->
+    HWIO (3,3,1,C), BatchNorm running stats -> batch_stats collection.
+    """
+    sd = _cvt_canonical(sd)
+    params: Dict = {}
+    stats: Dict = {}
+    for si, depth in enumerate(depths):
+        st = f"stage{si}"
+        params[f"embed{si}"] = {
+            "kernel": _conv(sd[f"{st}.patch_embed.proj.weight"]),
+            "bias": sd[f"{st}.patch_embed.proj.bias"]}
+        params[f"embed_norm{si}"] = {
+            "scale": sd[f"{st}.patch_embed.norm.weight"],
+            "bias": sd[f"{st}.patch_embed.norm.bias"]}
+        if f"{st}.cls_token" in sd:
+            params["cls_token"] = sd[f"{st}.cls_token"]
+        for bi in range(depth):
+            t = f"{st}.blocks.{bi}"
+            attn: Dict = {}
+            attn_stats: Dict = {}
+            for tk, ours in (("q", "proj_q"), ("k", "proj_k"),
+                             ("v", "proj_v")):
+                bn_p, bn_s = _bn(sd, f"{t}.attn.conv_proj_{tk}.bn")
+                attn[ours] = {
+                    "dw": {"kernel": _conv(
+                        sd[f"{t}.attn.conv_proj_{tk}.conv.weight"])},
+                    "bn": bn_p}
+                attn_stats[ours] = {"bn": bn_s}
+                attn[tk] = {"kernel": _dense(sd[f"{t}.attn.proj_{tk}.weight"]),
+                            "bias": sd[f"{t}.attn.proj_{tk}.bias"]}
+            attn["proj"] = {"kernel": _dense(sd[f"{t}.attn.proj.weight"]),
+                            "bias": sd[f"{t}.attn.proj.bias"]}
+            params[f"stage{si}_block{bi}"] = {
+                "norm1": {"scale": sd[f"{t}.norm1.weight"],
+                          "bias": sd[f"{t}.norm1.bias"]},
+                "norm2": {"scale": sd[f"{t}.norm2.weight"],
+                          "bias": sd[f"{t}.norm2.bias"]},
+                "attn": attn,
+                "mlp": {
+                    "Dense_0": {"kernel": _dense(sd[f"{t}.mlp.fc1.weight"]),
+                                "bias": sd[f"{t}.mlp.fc1.bias"]},
+                    "Dense_1": {"kernel": _dense(sd[f"{t}.mlp.fc2.weight"]),
+                                "bias": sd[f"{t}.mlp.fc2.bias"]},
+                },
+            }
+            stats[f"stage{si}_block{bi}"] = {"attn": attn_stats}
+    if "norm.weight" in sd:
+        params["norm"] = {"scale": sd["norm.weight"],
+                          "bias": sd["norm.bias"]}
+    else:
+        # HF CvtModel carries no final LayerNorm (it lives in the
+        # classification head); identity matches a fresh init.
+        dim = params[f"embed{len(depths) - 1}"]["bias"].shape[0]
+        params["norm"] = {"scale": np.ones(dim, np.float32),
+                          "bias": np.zeros(dim, np.float32)}
+    return {"params": params, "batch_stats": stats}
+
+
 def convert_swin(sd: Dict[str, np.ndarray], depths,
                  with_head: bool = False) -> Dict:
     """Official microsoft/timm Swin state_dict -> our variables dict.
