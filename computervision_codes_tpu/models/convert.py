@@ -102,6 +102,69 @@ def convert_torchvision_resnet(sd: Dict[str, np.ndarray],
     return out
 
 
+def convert_tresnet(sd: Dict[str, np.ndarray], layers) -> Dict:
+    """Official TResNet checkpoint (tresnet_sync layout: body.conv1,
+    body.layer{1-4}.{b}.{conv1,conv2,conv3,se,downsample}) -> variables for
+    models/tresnet.py:TResNet.
+
+    InPlaceABN stores weight/bias/running_mean/running_var exactly like
+    BatchNorm, so each conv2d_ABN pair maps to (conv kernel, abn.bn).
+    Anti-aliased blocks nest the conv under an extra Sequential level
+    (conv1.0.0 instead of conv1.0 — tresnet_sync.py:65-66); both forms are
+    handled. SE 1x1 convs (C_out, C_in, 1, 1) squeeze to Dense kernels.
+    """
+    params: Dict = {}
+    stats: Dict = {}
+
+    def put_abn(prefix: str, *path):
+        p, s = _bn(sd, prefix)
+        for tree, leaf in ((params, p), (stats, s)):
+            dst = tree
+            for key in path:
+                dst = dst.setdefault(key, {})
+            dst["bn"] = leaf
+
+    def conv_abn(src: str, dst_block: Dict, conv_name: str, abn_path):
+        if f"{src}.0.0.weight" in sd:  # Sequential(conv2d_ABN, blur) form
+            src = f"{src}.0"
+        dst_block[conv_name] = {"kernel": _conv(sd[f"{src}.0.weight"])}
+        put_abn(f"{src}.1", *abn_path)
+
+    def se_dense(w: np.ndarray) -> np.ndarray:
+        return _dense(w[:, :, 0, 0])  # 1x1 conv acting on pooled vector
+
+    params["stem_conv"] = {"kernel": _conv(sd["body.conv1.0.weight"])}
+    put_abn("body.conv1.1", "stem_abn")
+    for si, depth in enumerate(layers):
+        bottleneck = si >= 2
+        for bi in range(depth):
+            t = f"body.layer{si + 1}.{bi}"
+            name = f"layer{si + 1}_{bi}"
+            block: Dict = {}
+            params[name] = block
+            conv_abn(f"{t}.conv1", block, "conv1", (name, "abn1"))
+            conv_abn(f"{t}.conv2", block, "conv2",
+                     (name, "abn2"))
+            if bottleneck:
+                conv_abn(f"{t}.conv3", block, "conv3", (name, "abn3"))
+            if f"{t}.se.fc1.weight" in sd:
+                block["se"] = {
+                    "fc1": {"kernel": se_dense(sd[f"{t}.se.fc1.weight"]),
+                            "bias": sd[f"{t}.se.fc1.bias"]},
+                    "fc2": {"kernel": se_dense(sd[f"{t}.se.fc2.weight"]),
+                            "bias": sd[f"{t}.se.fc2.bias"]},
+                }
+            # downsample: Sequential([AvgPool,] conv2d_ABN); the conv_abn
+            # index is 1 when the pool is present, 0 otherwise
+            for di in (1, 0):
+                if f"{t}.downsample.{di}.0.weight" in sd:
+                    block["downsample"] = {
+                        "kernel": _conv(sd[f"{t}.downsample.{di}.0.weight"])}
+                    put_abn(f"{t}.downsample.{di}.1", name, "downsample_abn")
+                    break
+    return {"params": params, "batch_stats": stats}
+
+
 _HF_CVT_RENAMES = (
     (".embedding.convolution_embeddings.projection.", ".patch_embed.proj."),
     (".embedding.convolution_embeddings.normalization.", ".patch_embed.norm."),

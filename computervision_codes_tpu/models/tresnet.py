@@ -6,14 +6,29 @@ layers/). The reference REQUIRES the external ``inplace_abn`` CUDA extension
 (tresnet_sync.py:17-19) and two @torch.jit.script kernels; the TPU
 equivalents live in ops/fused_norm.py:
 
-  * InPlaceABN (fused BN + LeakyReLU(1e-3))  -> fused_scale_bias_act with
+  * InPlaceABN (fused BN + LeakyReLU)          -> fused_scale_bias_act with
     folded BN constants (ABN class below);
-  * SpaceToDepthJit (general_layers.py:54-62) -> ops.space_to_depth;
-  * DownsampleJIT blur-pool (anti_aliasing.py:22-41) -> ops.blur_pool.
+  * SpaceToDepthJit (general_layers.py:54-62)  -> ops.space_to_depth;
+  * DownsampleJIT blur-pool (anti_aliasing.py:22-41, reflect-padded)
+                                               -> ops.blur_pool.
 
-Variants (tresnet_sync.py): m = width 64, layers (3,4,11,3);
-l = width 76.8, layers (4,5,18,3); xl = width 83.2, layers (4,5,24,3).
-Basic blocks in stages 1-2 (SE on), bottlenecks in stages 3-4 (SE on 3).
+Exact-semantics notes (torch parity: tests/test_tresnet_parity.py):
+  * anti-alias blur-pool runs AFTER the stride-1 conv+ABN it replaces
+    (tresnet_sync.py:65-66, 108-110), not before;
+  * the residual downsample is AvgPool2d(2, ceil) then 1x1 conv + identity
+    ABN (tresnet_sync.py:203-209);
+  * the post-residual activation is plain ReLU (tresnet_sync.py:89, 136);
+  * the stem ABN uses the conv2d_ABN DEFAULT LeakyReLU slope 1e-2
+    (tresnet_sync.py:46, 153); block ABNs pass 1e-3 explicitly;
+  * SE reduction: basic max(planes/4, 64), bottleneck max(planes*4/8, 64)
+    applied to the conv2 output (tresnet_sync.py:72-73, 119-120);
+  * the last ABN of each block is zero-gamma initialized
+    (tresnet_sync.py:196-199).
+
+Variants (tresnet_sync.py:227-260): m = width 64, layers (3,4,11,3);
+l = width int(64*1.2)=76, layers (4,5,18,3); xl = width int(64*1.3)=83,
+layers (4,5,24,3). Basic blocks in stages 1-2, bottlenecks in 3-4; SE on
+stages 1-3.
 """
 
 from __future__ import annotations
@@ -37,17 +52,21 @@ class ABN(nn.Module):
 
     Running stats live in 'batch_stats' like regular BN so converted
     checkpoints slot in; training updates them through nn.BatchNorm and
-    applies the same activation.
+    applies the same activation. ``zero_init`` mirrors the reference's
+    zero-gamma init on each block's last ABN (tresnet_sync.py:196-199).
     """
 
     act: bool = True
     slope: float = 1e-3
+    zero_init: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        scale_init = (nn.initializers.zeros if self.zero_init
+                      else nn.initializers.ones)
         bn = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.dtype,
-                          name="bn")
+                          scale_init=scale_init, name="bn")
         y = bn(x, use_running_average=not train)
         if not self.act:
             return y
@@ -64,7 +83,7 @@ class ABN(nn.Module):
 
 
 class SEModule(nn.Module):
-    """Squeeze-excitation (layers/general_layers.py:76)."""
+    """Squeeze-excitation (layers/general_layers.py:76-93)."""
 
     reduce: int
     dtype: jnp.dtype = jnp.float32
@@ -78,6 +97,17 @@ class SEModule(nn.Module):
         return x * s[:, None, None, :]
 
 
+def _downsample(identity, out_ch, stride, train, dtype, abn_name, conv_name):
+    """Residual shortcut: AvgPool2d(2, ceil_mode, exclude-pad) then 1x1
+    conv + identity ABN (tresnet_sync.py:203-209)."""
+    if stride == 2:
+        identity = nn.avg_pool(identity, (2, 2), strides=(2, 2),
+                               padding="SAME", count_include_pad=False)
+    identity = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=dtype,
+                       name=conv_name)(identity)
+    return ABN(act=False, dtype=dtype, name=abn_name)(identity, train)
+
+
 class TBasicBlock(nn.Module):
     filters: int
     stride: int = 1
@@ -86,25 +116,23 @@ class TBasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        needs_ds = self.stride == 2 or x.shape[-1] != self.filters
         identity = x
-        h = x
-        if self.stride == 2:
+        h = nn.Conv(self.filters, (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        h = ABN(dtype=self.dtype, name="abn1")(h, train)
+        if self.stride == 2:  # anti-alias AFTER conv1 (tresnet_sync.py:65)
             h = blur_pool(h)
         h = nn.Conv(self.filters, (3, 3), padding=1, use_bias=False,
-                    dtype=self.dtype, name="conv1")(h)
-        h = ABN(dtype=self.dtype, name="abn1")(h, train)
-        h = nn.Conv(self.filters, (3, 3), padding=1, use_bias=False,
                     dtype=self.dtype, name="conv2")(h)
-        h = ABN(act=False, dtype=self.dtype, name="abn2")(h, train)
+        h = ABN(act=False, zero_init=True, dtype=self.dtype,
+                name="abn2")(h, train)
         if self.use_se:
             h = SEModule(max(self.filters // 4, 64), self.dtype, name="se")(h)
-        if self.stride == 2 or identity.shape[-1] != self.filters:
-            identity = blur_pool(identity) if self.stride == 2 else identity
-            identity = nn.Conv(self.filters, (1, 1), use_bias=False,
-                               dtype=self.dtype, name="downsample")(identity)
-            identity = ABN(act=False, dtype=self.dtype,
-                           name="downsample_abn")(identity, train)
-        return nn.leaky_relu(h + identity, 1e-3)
+        if needs_ds:
+            identity = _downsample(identity, self.filters, self.stride, train,
+                                   self.dtype, "downsample_abn", "downsample")
+        return nn.relu(h + identity)
 
 
 class TBottleneck(nn.Module):
@@ -117,27 +145,27 @@ class TBottleneck(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         out_ch = self.filters * self.expansion
+        needs_ds = self.stride == 2 or x.shape[-1] != out_ch
         identity = x
         h = nn.Conv(self.filters, (1, 1), use_bias=False, dtype=self.dtype,
                     name="conv1")(x)
         h = ABN(dtype=self.dtype, name="abn1")(h, train)
-        if self.stride == 2:
-            h = blur_pool(h)
         h = nn.Conv(self.filters, (3, 3), padding=1, use_bias=False,
                     dtype=self.dtype, name="conv2")(h)
         h = ABN(dtype=self.dtype, name="abn2")(h, train)
-        if self.use_se:
-            h = SEModule(max(self.filters // 8, 64), self.dtype, name="se")(h)
+        if self.stride == 2:  # anti-alias AFTER conv2 (tresnet_sync.py:108)
+            h = blur_pool(h)
+        if self.use_se:  # reduce = max(planes*4//8, 64) (tresnet_sync.py:119)
+            h = SEModule(max(self.filters * self.expansion // 8, 64),
+                         self.dtype, name="se")(h)
         h = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
                     name="conv3")(h)
-        h = ABN(act=False, dtype=self.dtype, name="abn3")(h, train)
-        if self.stride == 2 or identity.shape[-1] != out_ch:
-            identity = blur_pool(identity) if self.stride == 2 else identity
-            identity = nn.Conv(out_ch, (1, 1), use_bias=False,
-                               dtype=self.dtype, name="downsample")(identity)
-            identity = ABN(act=False, dtype=self.dtype,
-                           name="downsample_abn")(identity, train)
-        return nn.leaky_relu(h + identity, 1e-3)
+        h = ABN(act=False, zero_init=True, dtype=self.dtype,
+                name="abn3")(h, train)
+        if needs_ds:
+            identity = _downsample(identity, out_ch, self.stride, train,
+                                   self.dtype, "downsample_abn", "downsample")
+        return nn.relu(h + identity)
 
 
 class TResNet(nn.Module):
@@ -150,12 +178,13 @@ class TResNet(nn.Module):
         x = space_to_depth(x.astype(self.dtype), 4)
         x = nn.Conv(self.width, (3, 3), padding=1, use_bias=False,
                     dtype=self.dtype, name="stem_conv")(x)
-        x = ABN(dtype=self.dtype, name="stem_abn")(x, train)
+        # stem keeps conv2d_ABN's default slope 1e-2 (tresnet_sync.py:46,153)
+        x = ABN(slope=1e-2, dtype=self.dtype, name="stem_abn")(x, train)
         stages = []
         for si, depth in enumerate(self.layers):
             filters = self.width * (2 ** si)
             block = TBasicBlock if si < 2 else TBottleneck
-            use_se = si < 3  # SE on stages 1-3 (tresnet_sync.py)
+            use_se = si < 3  # SE on stages 1-3 (tresnet_sync.py:155-162)
             for bi in range(depth):
                 stride = 2 if si > 0 and bi == 0 else 1
                 x = block(filters=filters, stride=stride, use_se=use_se,

@@ -71,10 +71,12 @@ _BLUR = (np.array([1.0, 2.0, 1.0])[:, None] *
 
 def blur_pool(x: jnp.ndarray, stride: int = 2) -> jnp.ndarray:
     """Anti-aliased downsample: fixed 3x3 binomial blur then stride
-    (TResNet DownsampleJIT, anti_aliasing.py:22-41). Depthwise conv."""
+    (TResNet DownsampleJIT, anti_aliasing.py:22-41). Depthwise conv with
+    REFLECT edge padding, matching the reference's F.pad(..., 'reflect')."""
     c = x.shape[-1]
     kern = jnp.asarray(_BLUR, x.dtype)[:, :, None, None]
     kern = jnp.tile(kern, (1, 1, 1, c))  # HWIO with feature groups
+    x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
     return jax.lax.conv_general_dilated(
-        x, kern, window_strides=(stride, stride), padding=((1, 1), (1, 1)),
+        x, kern, window_strides=(stride, stride), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
