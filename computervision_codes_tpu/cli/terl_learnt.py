@@ -24,7 +24,8 @@ from ..data.feature_store import FeatureStore
 from ..data.pipeline import CholecDataset, batch_iterator
 from ..models.moco import TERLModel, select_tail_anchors
 from ..models.swin import swin_feature_dim
-from ..train import CheckpointManager, build_sgd, reference_warmup_exp_schedule
+from ..train import (CheckpointManager, build_sgd, freeze_swin_early,
+                     reference_warmup_exp_schedule)
 from ..train.terl import (
     create_terl_state,
     make_terl_eval_step,
@@ -55,6 +56,9 @@ def parse_flags(argv: Optional[Sequence[str]] = None):
     p.add_argument("--moco_m", type=float, default=0.999)
     p.add_argument("--moco_t", type=float, default=0.07)
     p.add_argument("--mlp", action="store_true")
+    p.add_argument("--fix_backbone", action="store_true",
+                   help="freeze the Swin patch embed + stages 0-1 "
+                        "(reference models/backbone.py:203-206)")
     p.add_argument("--ht", action="store_true",
                    help="separate head/tail CAM heads")
     p.add_argument("--w_epoch", type=int, default=5)
@@ -120,6 +124,8 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
         flags.initial_learning_rates[2], flags.power, flags.warmups[2],
         flags.decay_rate, steps_per_epoch)
     tx = build_sgd(sched, flags.weight_decay)
+    if flags.fix_backbone:
+        tx = freeze_swin_early(tx)
     example = jnp.zeros((1, flags.img_size, flags.img_size, 3), jnp.float32)
     state = create_terl_state(model, tx, rng, example,
                               queue_size=flags.moco_k, ht_masks=ht_masks)

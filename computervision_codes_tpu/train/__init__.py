@@ -1,5 +1,6 @@
 from .checkpoint import CheckpointManager
-from .optim import build_sgd, imbsam_gradients, sam_gradients
+from .optim import (build_sgd, freeze_swin_early, imbsam_gradients,
+                    sam_gradients)
 from .schedule import reference_warmup_exp_schedule
 from .state import TrainState
 from .trainer import (
@@ -13,6 +14,7 @@ from .trainer import (
 __all__ = [
     "CheckpointManager",
     "build_sgd",
+    "freeze_swin_early",
     "sam_gradients",
     "imbsam_gradients",
     "reference_warmup_exp_schedule",

@@ -37,6 +37,41 @@ def build_sgd(learning_rate, weight_decay: float = 0.0,
     return optax.chain(*parts)
 
 
+_SWIN_EARLY = ("patch_embed", "patch_norm", "stage0_block", "stage1_block",
+               "merge0", "merge1")
+
+
+def freeze_swin_early(tx: optax.GradientTransformation
+                      ) -> optax.GradientTransformation:
+    """TERL ``--fix_backbone``: freeze the Swin patch embed and stages 0-1.
+
+    The reference sets requires_grad=False on every backbone parameter
+    whose torch name contains 'patch', 'layers.0' or 'layers.1'
+    (TERL/6_baseline_learnT/models/backbone.py:203-206) — i.e. the patch
+    embed (+its norm) and the first two stages including their
+    PatchMerging downsamples. Here the same partition is an
+    optax.multi_transform: frozen leaves get set_to_zero (no update, no
+    weight decay — matching requires_grad=False), everything else runs
+    through ``tx`` unchanged. Labels are computed from the param paths at
+    init, so no example params are needed up front.
+    """
+
+    def labels(params):
+        def label(path, _):
+            keys = [getattr(p, "key", None) for p in path]
+            if "backbone" in keys:
+                nxt = keys[keys.index("backbone") + 1:]
+                if nxt and any(str(nxt[0]).startswith(f)
+                               for f in _SWIN_EARLY):
+                    return "frozen"
+            return "train"
+
+        return jax.tree_util.tree_map_with_path(label, params)
+
+    return optax.multi_transform({"train": tx,
+                                  "frozen": optax.set_to_zero()}, labels)
+
+
 def _global_norm(tree) -> jnp.ndarray:
     return optax.global_norm(tree)
 

@@ -97,3 +97,29 @@ def test_terl_classification_only_mode(rng):
     state, m = step(state, _batch(rng), jnp.asarray(0))
     assert np.isfinite(float(m["loss"]))
     assert "loss_con" not in m
+
+
+def test_fix_backbone_freezes_patch_embed_and_early_stages(rng):
+    from computervision_codes_tpu.train import freeze_swin_early
+
+    model = TERLModel(backbone="swin_nano_64", moco_dim=256, mlp=True)
+    tx = freeze_swin_early(build_sgd(1e-1))
+    imgs = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    state = create_terl_state(model, tx, jax.random.PRNGKey(0), imgs,
+                              queue_size=32)
+    bb0 = jax.tree.map(np.asarray, state.params["encoder"]["backbone"])
+    step = make_terl_train_step(model, w_epoch=1, kcl_k=2)
+    state, _ = step(state, _batch(rng), jnp.asarray(0))
+    bb1 = state.params["encoder"]["backbone"]
+    frozen = ("patch_embed", "patch_norm", "stage0_block0", "merge0",
+              "stage1_block0", "merge1")
+    for name in frozen:
+        same = jax.tree.map(
+            lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+            bb0[name], bb1[name])
+        assert all(jax.tree.leaves(same)), f"{name} should be frozen"
+    # late stages still learn
+    moved = jax.tree.map(
+        lambda a, b: not np.allclose(np.asarray(a), np.asarray(b)),
+        bb0["stage2_block0"], bb1["stage2_block0"])
+    assert any(jax.tree.leaves(moved)), "stage2 should update"
