@@ -25,6 +25,30 @@ Semantics:
 * Average precision follows sklearn's step-interpolated definition with tie
   handling; classes without positives yield NaN (the reference silences the
   resulting divisions with np.seterr, Spatial_cnn/run.py:21,300).
+
+ivtmetrics algorithm spec (transcribed; the package is not installable in
+this offline container so these conventions are pinned by
+tests/test_metrics.py edge cases instead of golden vectors):
+
+* ivtmetrics 0.0.6 delegates per-class AP to
+  ``sklearn.metrics.average_precision_score(..., average=None)`` — the
+  uninterpolated sum AP = Σ (R_n − R_{n−1}) · P_n over distinct score
+  thresholds, ties collapsed. ``average_precision`` below reproduces it
+  (asserted against the installed sklearn for every positive-bearing
+  class).
+* No-positive classes: the reference's environment pins
+  scikit-learn=1.0.2 (MT4MTLKD/environment.yaml:51), where the 0/0
+  recall makes the column's AP NaN; every ivtmetrics aggregation is a
+  ``np.nanmean``, so such classes are EXCLUDED from means. (sklearn ≥1.1
+  changed this to return 0.0 with a warning — using the modern value
+  would silently drag every video's mAP down, since most CholecT45
+  classes are absent from most videos. We implement the 1.0.2/NaN
+  convention.)
+* compute_video_AP ordering: per-class AP per video -> nanmean over
+  VIDEOS per class -> nanmean over CLASSES. This is NOT the mean of
+  per-video mAPs: a class only contributes to videos where it has
+  positives, and each class gets equal weight in the final mean
+  regardless of how many videos contain it.
 """
 
 from __future__ import annotations

@@ -143,3 +143,70 @@ def test_bank_null_masks():
     assert bank_mod.null_component_mask("t").sum() == 1
     assert bank_mod.null_component_mask("i").sum() == 0
     assert bank_mod.null_component_mask("ivt").sum() > 0
+
+
+# -- ivtmetrics convention edge cases (spec in metrics/recognition.py) -----
+
+
+def test_ap_no_positive_convention_is_sklearn_102_nan():
+    """The reference env pins scikit-learn 1.0.2, where a no-positive class
+    gets NaN AP (0/0 recall); modern sklearn returns 0.0 instead. We must
+    keep NaN: nanmean then EXCLUDES the class, which is what makes
+    per-video mAP meaningful when most classes are absent per video."""
+    ap = average_precision(np.zeros(5), np.linspace(0, 1, 5))
+    assert np.isnan(ap)
+
+
+def test_ap_tie_handling_matches_sklearn(rng):
+    from sklearn.metrics import average_precision_score
+
+    y = (rng.random(64) < 0.3).astype(np.float64)
+    y[0] = 1.0  # ensure positives
+    # heavy ties: quantized scores
+    s = np.round(rng.random(64) * 4) / 4
+    np.testing.assert_allclose(average_precision(y, s),
+                               average_precision_score(y, s), atol=1e-12)
+    # fully constant scores
+    np.testing.assert_allclose(
+        average_precision(y, np.full(64, 0.5)),
+        average_precision_score(y, np.full(64, 0.5)), atol=1e-12)
+
+
+def test_video_ap_nanmean_ordering():
+    """Videos-then-classes nanmean: a class present in one video only is
+    averaged over THAT video alone, then weighted equally with classes
+    present everywhere — distinct from mean-of-per-video-mAPs."""
+    rec = Recognition(num_class=2, bank=np.zeros((0, 4), np.int64))
+    # video 1: class 0 ranked perfectly (AP 1.0); class 1 absent (NaN)
+    rec.update(np.array([[1, 0], [0, 0]]), np.array([[0.9, 0.1], [0.1, 0.2]]))
+    rec.video_end()
+    # video 2: class 0 AP 0.5, class 1 AP 0.5
+    rec.update(np.array([[1, 0], [0, 1]]), np.array([[0.4, 0.9], [0.6, 0.5]]))
+    rec.video_end()
+    res = rec.compute_video_AP("ivt")
+    np.testing.assert_allclose(res["AP"], [0.75, 0.5])
+    np.testing.assert_allclose(res["mAP"], (0.75 + 0.5) / 2)  # = 0.625
+    # mean of per-video mAPs would be (1.0 + 0.5)/2 = 0.75 — must differ
+    assert abs(res["mAP"] - 0.75) > 1e-9
+
+
+def test_video_ap_class_absent_everywhere_excluded():
+    rec = Recognition(num_class=3, bank=np.zeros((0, 4), np.int64))
+    for _ in range(2):
+        rec.update(np.array([[1, 0, 0]]), np.array([[0.9, 0.5, 0.4]]))
+        rec.video_end()
+    res = rec.compute_video_AP("ivt")
+    assert np.isnan(res["AP"][1]) and np.isnan(res["AP"][2])
+    np.testing.assert_allclose(res["mAP"], 1.0)  # nanmean over class 0 only
+
+
+def test_video_with_no_positives_at_all():
+    """An all-background video contributes NaN rows, not zeros."""
+    rec = Recognition(num_class=2, bank=np.zeros((0, 4), np.int64))
+    rec.update(np.array([[1, 1]]), np.array([[0.9, 0.9]]))
+    rec.video_end()
+    rec.update(np.zeros((3, 2)), np.full((3, 2), 0.5))
+    rec.video_end()
+    res = rec.compute_video_AP("ivt")
+    np.testing.assert_allclose(res["AP"], [1.0, 1.0])
+    np.testing.assert_allclose(res["mAP"], 1.0)
