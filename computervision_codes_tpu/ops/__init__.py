@@ -1,6 +1,7 @@
 from .attention import (
     attention_pallas,
     attention_reference,
+    flash_attention,
     multi_head_attention,
 )
 from .dilated_conv import (
@@ -16,7 +17,8 @@ from .fused_norm import (
 )
 
 __all__ = [
-    "attention_pallas", "attention_reference", "multi_head_attention",
+    "attention_pallas", "attention_reference", "flash_attention",
+    "multi_head_attention",
     "dilated_residual_fused", "dilated_residual_pallas",
     "dilated_residual_reference",
     "blur_pool", "fused_scale_bias_act", "fused_scale_bias_act_reference",

@@ -50,3 +50,31 @@ def test_flash_streaming_matches_reference(rng):
     ref = attention_reference(q, k, v)
     got = flash_attention_pallas(q, k, v, block_q=128, block_k=128)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
+
+
+def test_flash_attention_backward_matches_reference(rng):
+    """Fused streaming backward (dQ/dK/dV kernels) vs XLA autodiff, with
+    T not a block multiple and unaligned head dim."""
+    from computervision_codes_tpu.ops.attention import flash_attention
+
+    q, k, v = _qkv(rng, b=1, h=2, t=300, d=24)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(jnp.sin(flash_attention(q, k, v, 128, 128)))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(attention_reference(q, k, v)))
+
+    got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=3e-5)
+
+
+def test_flash_attention_forward_value(rng):
+    from computervision_codes_tpu.ops.attention import flash_attention
+
+    q, k, v = _qkv(rng, b=2, h=1, t=260, d=16)
+    np.testing.assert_allclose(
+        np.asarray(flash_attention(q, k, v, 128, 128)),
+        np.asarray(attention_reference(q, k, v)), atol=3e-5)
