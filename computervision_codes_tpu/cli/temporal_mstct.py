@@ -67,6 +67,12 @@ def parse_flags(argv: Optional[Sequence[str]] = None):
     p.add_argument("--seq_devices", type=int, default=0,
                    help="context-parallel full-video eval: shard T over this "
                         "many devices (0 = single device)")
+    p.add_argument("--seq_attn", type=str, default="gather",
+                   choices=("gather", "ring"),
+                   help="attention schedule under --seq_devices: 'gather' "
+                        "lets GSPMD all-gather K/V per chip; 'ring' keeps "
+                        "K/V sharded and rotates them over ICI (exact, for "
+                        "T where gathered K/V exceed chip memory)")
     flags, _ = p.parse_known_args(argv)
     if flags.loss_type == "all":
         flags.loss_type = "ivt"
@@ -148,11 +154,15 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
         feats_in = jnp.asarray(batch["features"])
         if seq_mesh is not None:
             # context-parallel: T sharded over chips, GSPMD inserts the
-            # conv halos + attention collectives (parallel/long_video.py)
+            # conv halos + attention collectives (parallel/long_video.py);
+            # --seq_attn ring swaps the attention for the ring schedule
             from ..parallel.long_video import eval_sharded
 
+            eval_model = model if flags.seq_attn == "gather" else \
+                model.clone(ring_mesh=seq_mesh)
+
             def apply(v, x):
-                out = model.apply(v, x, train=False)
+                out = eval_model.apply(v, x, train=False)
                 return jax.nn.sigmoid(out["logits"]), out["feature"]
 
             probs, feats = eval_sharded(apply, {"params": state.params},

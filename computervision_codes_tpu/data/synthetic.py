@@ -81,6 +81,98 @@ def write_synthetic_dataset(
     return root
 
 
+def render_triplet_frame(tool: np.ndarray, verb: np.ndarray,
+                         target: np.ndarray, height: int, width: int,
+                         rng: np.random.Generator,
+                         noise: float = 20.0) -> np.ndarray:
+    """Render component labels into pixels (for KD-efficacy experiments).
+
+    The frame is split into three horizontal bands — tools (6 slots), verbs
+    (10 slots), targets (15 slots); an active class lights its slot. With
+    Gaussian pixel noise on top the mapping pixels -> labels is learnable
+    by a small CNN but not trivially saturated, which is what lets a
+    longer-trained teacher genuinely out-know a short-trained student.
+    """
+    img = np.full((height, width, 3), 32.0)
+    bands = ((tool, 0), (verb, 1), (target, 2))
+    bh = height // 3
+    for vec, bi in bands:
+        n = len(vec)
+        sw = width / n
+        for k in np.nonzero(vec)[0]:
+            x0, x1 = int(k * sw), max(int((k + 1) * sw), int(k * sw) + 1)
+            img[bi * bh:(bi + 1) * bh, x0:x1] = 220.0
+    img += rng.standard_normal(img.shape) * noise
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def write_learnable_synthetic_dataset(
+    root: str,
+    videos: Sequence[str],
+    frames_per_video: int = 8,
+    height: int = 32,
+    width: int = 56,
+    seed: int = 0,
+    vocab: Sequence[int] = (4, 18, 40, 63, 87, 95),
+    label_corrupt: float = 0.0,
+    noise: float = 20.0,
+) -> str:
+    """CholecT45-layout dataset whose PIXELS encode the labels.
+
+    Unlike ``write_synthetic_dataset`` (random pixels, good for plumbing
+    smoke tests), frames here render their active triplets'
+    tool/verb/target slots, restricted to a small triplet ``vocab`` so tiny
+    models can learn the task. ``label_corrupt`` swaps each active triplet
+    in the STORED labels with another vocab member with that probability
+    (pixels stay truthful) — label noise that a long-trained teacher
+    averages out, letting its soft targets de-noise a KD student.
+    """
+    from PIL import Image
+
+    bank = load_bank()
+    vocab = np.asarray(vocab)
+    rng = np.random.default_rng(seed)
+    for task_dir in ("triplet", "instrument", "verb", "target"):
+        os.makedirs(os.path.join(root, task_dir), exist_ok=True)
+
+    def multi_hot(trips):
+        t = np.zeros(NUM_TRIPLET, np.int64)
+        i = np.zeros(NUM_TOOL, np.int64)
+        v = np.zeros(NUM_VERB, np.int64)
+        g = np.zeros(NUM_TARGET, np.int64)
+        for tr in trips:
+            t[tr] = 1
+            i[bank[tr, 1]] = 1
+            v[bank[tr, 2]] = 1
+            g[bank[tr, 3]] = 1
+        return t, i, v, g
+
+    for vi, video in enumerate(videos):
+        vr = np.random.default_rng(seed + 1000 + vi)
+        frame_ids = np.arange(frames_per_video)
+        img_dir = os.path.join(root, "data", video)
+        os.makedirs(img_dir, exist_ok=True)
+        rows = {k: [] for k in ("triplet", "tool", "verb", "target")}
+        for fid in frame_ids:
+            k = int(vr.integers(0, 3))
+            true = list(vr.choice(vocab, size=k, replace=False))
+            _, ti, tv, tg = multi_hot(true)
+            img = render_triplet_frame(ti, tv, tg, height, width, vr, noise)
+            Image.fromarray(img).save(
+                os.path.join(img_dir, f"{int(fid):06d}.png"))
+            stored = [int(vr.choice(vocab)) if vr.random() < label_corrupt
+                      else tr for tr in true]
+            st, si, sv, sg = multi_hot(stored)
+            for key, vec in (("triplet", st), ("tool", si), ("verb", sv),
+                             ("target", sg)):
+                rows[key].append(np.r_[fid, vec])
+        for task, subdir in (("triplet", "triplet"), ("tool", "instrument"),
+                             ("verb", "verb"), ("target", "target")):
+            np.savetxt(os.path.join(root, subdir, f"{video}.txt"),
+                       np.stack(rows[task]), fmt="%d", delimiter=",")
+    return root
+
+
 def synthetic_feature_dict(videos: Sequence[str], num_frames: int, dim: int,
                            seed: int = 0) -> dict:
     """Random cached-feature dict in the feature-bus format (keyed by video)."""

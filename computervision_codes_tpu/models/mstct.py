@@ -22,10 +22,11 @@ still resizes defensively, matching TS_Mixer.py:50-63.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.sharding import Mesh
 
 from ..ops.attention import multi_head_attention
 from .common import Mlp, interpolate_1d, trunc_normal_init
@@ -47,11 +48,19 @@ class TemporalMergingBlock(nn.Module):
 
 
 class GlobalRelationalBlock(nn.Module):
-    """Full self-attention (Temporal_Encoder.py:46-88)."""
+    """Full self-attention (Temporal_Encoder.py:46-88).
+
+    With ``ring_mesh`` set, the T-sharded inputs stay sharded and attention
+    runs as an exact ring over the mesh's seq axis (K/V rotate via
+    ppermute with flash running statistics, parallel/ring_attention.py) —
+    for videos where even the all-gathered K/V of the GSPMD path exceed
+    one chip's memory.
+    """
 
     dim: int
     num_heads: int = 8
     dtype: jnp.dtype = jnp.float32
+    ring_mesh: Optional[Mesh] = None
 
     @nn.compact
     def __call__(self, x):
@@ -66,7 +75,13 @@ class GlobalRelationalBlock(nn.Module):
         def heads(t):
             return t.reshape(B, T, H, C // H).transpose(0, 2, 1, 3)
 
-        out = multi_head_attention(heads(q), heads(k), heads(v))
+        if self.ring_mesh is not None:
+            from ..parallel.ring_attention import ring_attention
+
+            out = ring_attention(heads(q), heads(k), heads(v),
+                                 self.ring_mesh)
+        else:
+            out = multi_head_attention(heads(q), heads(k), heads(v))
         out = out.transpose(0, 2, 1, 3).reshape(B, T, C)
         return nn.Dense(C, dtype=self.dtype, kernel_init=trunc_normal_init(),
                         name="proj")(out)
@@ -103,10 +118,12 @@ class GLRBlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 8.0
     dtype: jnp.dtype = jnp.float32
+    ring_mesh: Optional[Mesh] = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         x = x + GlobalRelationalBlock(self.dim, self.num_heads, self.dtype,
+                                      ring_mesh=self.ring_mesh,
                                       name="grb")(
             nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x))
         x = x + LocalRelationalBlock(int(self.dim * self.mlp_ratio),
@@ -124,6 +141,7 @@ class TemporalEncoder(nn.Module):
     mlp_ratio: float = 8.0
     num_blocks: int = 2
     dtype: jnp.dtype = jnp.float32
+    ring_mesh: Optional[Mesh] = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True) -> List[jnp.ndarray]:
@@ -133,6 +151,7 @@ class TemporalEncoder(nn.Module):
                                      name=f"merge{si + 1}")(x)
             for bi in range(self.num_blocks):
                 x = GLRBlock(dim, self.num_heads, self.mlp_ratio, self.dtype,
+                             ring_mesh=self.ring_mesh,
                              name=f"stage{si + 1}_block{bi}")(
                     x, deterministic=deterministic)
             x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norm{si + 1}")(x)
@@ -207,6 +226,7 @@ class MSTCT(nn.Module):
     final_embedding_dim: int = 512
     num_classes: int = 100  # the per-task head width (single-task teacher)
     dtype: jnp.dtype = jnp.float32
+    ring_mesh: Optional[Mesh] = None  # exact ring attention over seq axis
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> Dict:
@@ -214,6 +234,7 @@ class MSTCT(nn.Module):
         x = nn.Dropout(0.5)(x, deterministic=not train)
         stages = TemporalEncoder(self.embed_dims, self.num_heads,
                                  self.mlp_ratio, self.num_blocks, self.dtype,
+                                 ring_mesh=self.ring_mesh,
                                  name="encoder")(x, deterministic=not train)
         concat = TemporalMixer(self.final_embedding_dim, self.dtype,
                                name="mixer")(stages)

@@ -203,3 +203,24 @@ def test_terl_step_data_parallel_matches_single(rng):
     _, m_sharded = step(state_r, batch_s, jnp.asarray(1))
     np.testing.assert_allclose(float(m_sharded["loss"]),
                                float(m_single["loss"]), rtol=2e-4)
+
+
+def test_mstct_ring_attention_model_level_exact(seq_mesh, rng):
+    """MSTCT with ring_mesh set (--seq_attn ring): T-sharded eval with the
+    ring attention schedule inside every GLR block matches the
+    single-device model exactly."""
+    import jax.numpy as jnp
+
+    from computervision_codes_tpu.models.mstct import MSTCT
+    from computervision_codes_tpu.parallel.long_video import eval_sharded
+
+    feats = jnp.asarray(rng.standard_normal((1, 64, 12)), jnp.float32)
+    mstct = MSTCT(embed_dims=(8, 8, 8, 8), num_blocks=1, num_heads=2,
+                  mlp_ratio=1.0, final_embedding_dim=8, num_classes=5)
+    mv = mstct.init(jax.random.PRNGKey(0), feats)
+    want = mstct.apply(mv, feats)["logits"]
+
+    ring_model = mstct.clone(ring_mesh=seq_mesh)
+    got = eval_sharded(lambda v, x: ring_model.apply(v, x)["logits"],
+                       mv, feats, seq_mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
