@@ -92,9 +92,10 @@ class WindowAttention(nn.Module):
     dim: int
     window: int
     num_heads: int
-    use_fused_kernel: bool = False  # measured SLOWER than XLA's batched
-    # matmuls at Swin's tiny (N=49/144, d=32) windows — see docs/BENCH.md;
-    # kept as an option for larger-window variants
+    use_fused_kernel: bool = False  # the one-window kernel measured SLOWER
+    # than XLA (docs/BENCH.md); the multi-window variant (fused_block > 1)
+    # amortizes the grid overhead it lost to
+    fused_block: int = 8  # windows per grid step for the fused kernel
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -117,7 +118,7 @@ class WindowAttention(nn.Module):
         if self.use_fused_kernel:
             nw = mask.shape[0] if mask is not None else 1
             out = window_attention_fused(q, k, v, bias.astype(self.dtype),
-                                         mask, nw)
+                                         mask, nw, self.fused_block)
         else:
             attn = jnp.einsum("bhnd,bhmd->bhnm", q * (hd ** -0.5), k)
             attn = attn + bias[None].astype(attn.dtype)
@@ -142,6 +143,8 @@ class SwinBlock(nn.Module):
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
     dropout: float = 0.0
+    use_fused_attn: bool = False
+    fused_block: int = 8
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -164,6 +167,8 @@ class SwinBlock(nn.Module):
             mask = None
         windows = window_partition(x, w)
         windows = WindowAttention(self.dim, w, self.num_heads,
+                                  use_fused_kernel=self.use_fused_attn,
+                                  fused_block=self.fused_block,
                                   dtype=self.dtype,
                                   name="attn")(windows, mask, deterministic)
         x = window_reverse(windows, w, hp, wp)
@@ -208,6 +213,8 @@ class SwinTransformer(nn.Module):
     drop_path_rate: float = 0.1
     dropout: float = 0.0
     patch_norm: bool = True
+    use_fused_attn: bool = False  # multi-window Pallas attention kernel
+    fused_block: int = 8  # windows per fused-kernel grid step
     num_classes: int = 0  # 0 = headless (Q2L strips the head)
     remat: bool = False  # rematerialize blocks (jax.checkpoint) — trades
     # FLOPs for HBM so SwinL-384 trains on one chip at useful batch sizes
@@ -236,6 +243,8 @@ class SwinTransformer(nn.Module):
                               window=self.window_size, shift=shift,
                               mlp_ratio=self.mlp_ratio,
                               drop_path=float(dpr[bi]), dropout=self.dropout,
+                              use_fused_attn=self.use_fused_attn,
+                              fused_block=self.fused_block,
                               dtype=self.dtype,
                               name=f"stage{si}_block{d}")(x, det)
                 bi += 1

@@ -1,0 +1,94 @@
+"""SwinL-384 Q2L teacher component ablation on the real TPU chip.
+
+Times the pieces of the heavy teacher (BENCH.md row 3) to locate the
+bottleneck before optimizing: full model, backbone alone, Q2L head alone,
+per-stage Swin stacks, window attention with fp32 vs bf16 softmax, and
+batch scaling. Uses the chained-scan methodology (docs/BENCH.md) — the
+axon block_until_ready is fire-ahead and same-input scans get hoisted.
+
+Run (TPU, single process!): python scripts/swin_ablation.py
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import jax
+import jax.numpy as jnp
+
+
+def timed_scan(apply_fn, variables, base, eps, iters=5):
+    @jax.jit
+    def loop(v, base, eps):
+        def step(acc, i):
+            return acc + apply_fn(v, base + eps[i]), None
+
+        total, _ = jax.lax.scan(step, jnp.zeros(()), jnp.arange(iters))
+        return total
+
+    float(loop(variables, base, eps))
+    t0 = time.perf_counter()
+    float(loop(variables, base, eps))
+    return (time.perf_counter() - t0) / iters
+
+
+def report(name, frames, secs):
+    print(json.dumps({"metric": name, "fps": round(frames / secs, 1),
+                      "per_step_ms": round(secs * 1000, 2)}))
+
+
+def main(batch=16):
+    from computervision_codes_tpu.models.q2l import Q2L
+    from computervision_codes_tpu.models.swin import SwinTransformer, VARIANTS
+
+    rng = jax.random.PRNGKey(0)
+    eps = (jax.random.normal(rng, (8,), jnp.float32) * 0.01).astype(jnp.bfloat16)
+
+    cfg = VARIANTS["swin_L_384_22k"]
+    imgs = jax.random.normal(rng, (batch, 384, 384, 3), jnp.bfloat16)
+
+    # 1) full Q2L teacher (the BENCH row)
+    q2l = Q2L(backbone="swin_L_384_22k", loss_type="i", dtype=jnp.bfloat16)
+    qv = q2l.init(rng, imgs[:1])
+    s = timed_scan(lambda v, x: q2l.apply(v, x)["logits"]["i"].astype(
+        jnp.float32).mean(), qv, imgs, eps)
+    report(f"Q2L SwinL-384 full (b={batch})", batch, s)
+
+    # 2) backbone alone
+    swin = SwinTransformer(dtype=jnp.bfloat16, **cfg)
+    sv = swin.init(rng, imgs[:1])
+    s = timed_scan(lambda v, x: swin.apply(v, x)["pooled"].astype(
+        jnp.float32).mean(), sv, imgs, eps)
+    report(f"SwinL backbone alone (b={batch})", batch, s)
+
+    # 3) per-stage stacks: truncate depths progressively
+    for stages in (1, 2, 3):
+        cfg_t = dict(cfg)
+        cfg_t["depths"] = cfg["depths"][:stages]
+        cfg_t["num_heads"] = cfg["num_heads"][:stages]
+        m = SwinTransformer(dtype=jnp.bfloat16, **cfg_t)
+        mv = m.init(rng, imgs[:1])
+        s = timed_scan(lambda v, x, m=m: m.apply(v, x)["pooled"].astype(
+            jnp.float32).mean(), mv, imgs, eps)
+        report(f"SwinL stages 1..{stages} (b={batch})", batch, s)
+
+    # 4) batch scaling on the full teacher
+    for b2 in (32,):
+        imgs2 = jax.random.normal(rng, (b2, 384, 384, 3), jnp.bfloat16)
+        s = timed_scan(lambda v, x: q2l.apply(v, x)["logits"]["i"].astype(
+            jnp.float32).mean(), qv, imgs2, eps)
+        report(f"Q2L SwinL-384 full (b={b2})", b2, s)
+
+    # 5) multi-window fused attention kernel vs XLA (same params)
+    for g in (8, 16, 32):
+        fused = SwinTransformer(dtype=jnp.bfloat16, use_fused_attn=True,
+                                fused_block=g, **cfg)
+        s = timed_scan(lambda v, x, m=fused: m.apply(v, x)["pooled"].astype(
+            jnp.float32).mean(), sv, imgs, eps)
+        report(f"SwinL backbone fused-attn G={g} (b={batch})", batch, s)
+
+
+if __name__ == "__main__":
+    main()

@@ -139,3 +139,30 @@ def test_window_attention_fused_grad(rng):
     want = jax.grad(lambda q: jnp.sum(
         window_attention_reference(q, k, v, bias, mask, nw=1) ** 2))(q)
     np.testing.assert_allclose(np.asarray(g), np.asarray(want), atol=1e-4)
+
+
+def test_multi_window_attention_matches_reference(rng):
+    from computervision_codes_tpu.ops.window_attention import (
+        window_attention_pallas_multi,
+        window_attention_reference,
+    )
+
+    bw, h, n, d = 24, 3, 49, 32
+    nw = 4
+    q = jnp.asarray(rng.standard_normal((bw, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((bw, h, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((bw, h, n, d)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((h, n, n)) * 0.1, jnp.float32)
+    mask = jnp.asarray(
+        np.where(rng.random((nw, n, n)) < 0.2, -100.0, 0.0), jnp.float32)
+    want = window_attention_reference(q, k, v, bias, mask, nw=nw)
+    # g < nw (mask slice), g == nw, g > nw (mask tile), g = full batch
+    for g in (2, 4, 8, 24):
+        got = window_attention_pallas_multi(q, k, v, bias, mask, nw=nw,
+                                            block_windows=g)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
+    # no-mask path
+    want = window_attention_reference(q, k, v, bias, None)
+    got = window_attention_pallas_multi(q, k, v, bias, None, block_windows=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
