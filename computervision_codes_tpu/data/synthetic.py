@@ -116,6 +116,7 @@ def write_learnable_synthetic_dataset(
     vocab: Sequence[int] = (4, 18, 40, 63, 87, 95),
     label_corrupt: float = 0.0,
     noise: float = 20.0,
+    segment_len: int = 0,
 ) -> str:
     """CholecT45-layout dataset whose PIXELS encode the labels.
 
@@ -126,6 +127,10 @@ def write_learnable_synthetic_dataset(
     in the STORED labels with another vocab member with that probability
     (pixels stay truthful) — label noise that a long-trained teacher
     averages out, letting its soft targets de-noise a KD student.
+    ``segment_len`` > 0 keeps the TRUE triplet set constant over segments
+    of that many frames (surgical phases): temporal models can then
+    majority-vote the per-frame pixel/label noise within a segment, so the
+    MS-TCT refinement stage genuinely improves on the per-frame teacher.
     """
     from PIL import Image
 
@@ -153,9 +158,11 @@ def write_learnable_synthetic_dataset(
         img_dir = os.path.join(root, "data", video)
         os.makedirs(img_dir, exist_ok=True)
         rows = {k: [] for k in ("triplet", "tool", "verb", "target")}
-        for fid in frame_ids:
-            k = int(vr.integers(0, 3))
-            true = list(vr.choice(vocab, size=k, replace=False))
+        true = []
+        for fi, fid in enumerate(frame_ids):
+            if segment_len <= 0 or fi % segment_len == 0:
+                k = int(vr.integers(0, 3))
+                true = list(vr.choice(vocab, size=k, replace=False))
             _, ti, tv, tg = multi_hot(true)
             img = render_triplet_frame(ti, tv, tg, height, width, vr, noise)
             Image.fromarray(img).save(

@@ -17,12 +17,17 @@ from flax.training import train_state
 
 class TrainState(train_state.TrainState):
     batch_stats: Any = None
+    # FrozenBatchNorm constants (Q2L ResNet backbones keep BN affine +
+    # running stats in a non-trainable 'frozen' collection)
+    frozen: Any = None
     rng: Optional[jax.Array] = struct.field(default=None)
 
     def variables(self):
         v = {"params": self.params}
         if self.batch_stats is not None:
             v["batch_stats"] = self.batch_stats
+        if self.frozen is not None:
+            v["frozen"] = self.frozen
         return v
 
     def next_rng(self):

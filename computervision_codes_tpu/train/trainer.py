@@ -39,6 +39,7 @@ def create_train_state(model, optimizer, rng, example_inputs,
         params=variables["params"],
         tx=optimizer,
         batch_stats=variables.get("batch_stats"),
+        frozen=variables.get("frozen"),
         rng=jax.random.fold_in(rng, 1),
     )
 
@@ -67,6 +68,8 @@ def make_spatial_train_step(model, loss_type: str = "all",
             variables = {"params": params}
             if state.batch_stats is not None:
                 variables["batch_stats"] = state.batch_stats
+            if state.frozen is not None:
+                variables["frozen"] = state.frozen
             out, mutated = state.apply_fn(
                 variables,
                 batch["image"],

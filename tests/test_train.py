@@ -180,3 +180,30 @@ def test_checkpoint_orbax_backend(tmp_path, tiny_spatial):
                     jax.tree.leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert int(restored.step) == int(state.step)
+
+
+def test_q2l_resnet_backbone_trains_through_driver_state(rng):
+    """Regression: Q2L ResNet backbones keep FrozenBatchNorm constants in a
+    'frozen' collection that create_train_state used to drop, crashing the
+    spatial_transformer driver on --backbone resnet18/50."""
+    from computervision_codes_tpu.models.q2l import Q2L
+    from computervision_codes_tpu.train import build_sgd, create_train_state
+    from computervision_codes_tpu.train.trainer import (
+        make_spatial_eval_step,
+        make_spatial_train_step,
+    )
+
+    model = Q2L(backbone="resnet18", loss_type="i")
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    state = create_train_state(model, build_sgd(1e-2), jax.random.PRNGKey(0),
+                               (img,))
+    assert state.frozen is not None
+    batch = {"image": jnp.asarray(rng.standard_normal((2, 64, 64, 3)),
+                                  jnp.float32)}
+    for k, n in (("i", 6), ("v", 10), ("t", 15), ("ivt", 100)):
+        batch[f"label_{k}"] = jnp.zeros((2, n), jnp.float32)
+    step = make_spatial_train_step(model, "i")
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    probs, feat = make_spatial_eval_step(model)(state, batch["image"])
+    assert probs["i"].shape == (2, 6) and feat.shape == (2, 512)
