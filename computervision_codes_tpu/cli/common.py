@@ -58,6 +58,15 @@ def common_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--momentum", type=float, default=0.95)
     p.add_argument("--power", type=float, default=0.1)
     p.add_argument("--temp", type=int, default=4)
+    p.add_argument("--optimizer", type=str, default="sgd",
+                   choices=["sgd", "sam"],
+                   help="'sam' wraps the train step's gradient in two-step "
+                        "sharpness-aware minimization (train/optim.py: "
+                        "sam_gradients; the reference ships SAM in "
+                        "TERL/6_baseline_learnT/imbsam.py:5-41 but never "
+                        "wires it into a driver — here it is usable)")
+    p.add_argument("--sam_rho", type=float, default=0.05,
+                   help="SAM neighborhood radius (imbsam.py:9)")
     # weights / io
     p.add_argument("--pretrain_dir", type=str, default="")
     p.add_argument("--loss_type", type=str, default="all")

@@ -94,8 +94,9 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
 
     pos_weights = {"i": TOOL_POS_WEIGHT, "v": VERB_POS_WEIGHT,
                    "t": TARGET_POS_WEIGHT}
-    train_step = make_spatial_train_step(model, flags.loss_type, flags.rates,
-                                         flags.temp, pos_weights)
+    train_step = make_spatial_train_step(
+        model, flags.loss_type, flags.rates, flags.temp, pos_weights,
+        sam_rho=flags.sam_rho if flags.optimizer == "sam" else 0.0)
     eval_step = make_spatial_eval_step(model)
 
     def run_batch(images):

@@ -136,7 +136,8 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
         model, w_con=flags.w_con, w_proto=flags.w_proto, w_tail=flags.w_tail,
         w_epoch=flags.w_epoch, moco_m=flags.moco_m, moco_t=flags.moco_t,
         kcl_k=flags.kcl_k, use_mlp=flags.mlp, ht_masks=ht_masks,
-        class_map=class_map if flags.drop_classes else None)
+        class_map=class_map if flags.drop_classes else None,
+        sam_rho=flags.sam_rho if flags.optimizer == "sam" else 0.0)
     eval_step = make_terl_eval_step(model, ht_masks=ht_masks)
 
     def restore_full(probs_ivt):

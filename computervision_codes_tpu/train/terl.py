@@ -85,7 +85,7 @@ def make_terl_train_step(model: TERLModel, w_con: float = 1.0,
                          w_epoch: int = 1, moco_m: float = 0.999,
                          moco_t: float = 0.07, kcl_k: int = 7,
                          use_mlp: bool = True, ht_masks=None,
-                         class_map=None):
+                         class_map=None, sam_rho: float = 0.0):
     """Returns step(state, batch, epoch) -> (state, metrics).
 
     batch: image1/image2 (B,H,W,3), label_{i,v,t,ivt} (B,C),
@@ -94,8 +94,16 @@ def make_terl_train_step(model: TERLModel, w_con: float = 1.0,
     ``class_map`` (V,) maps remapped triplet ids back to original 100-space
     ids when training with --drop_classes (reference run.py:208-211); the
     queue stores ORIGINAL ids so KCL positive masks stay consistent.
+
+    ``sam_rho`` > 0 swaps plain backprop for two-step SAM gradients
+    (train/optim.py; the reference ships the wrapper in imbsam.py:5-41
+    but never drives it) — the queue enqueue uses the key features from
+    the perturbed second pass, which is the same data either way since
+    the key path is EMA-parameterized and stop-gradiented.
     """
     import numpy as np
+
+    from .optim import sam_gradients
 
     from ..data.bank import component_projection
 
@@ -195,7 +203,12 @@ def make_terl_train_step(model: TERLModel, w_con: float = 1.0,
                            loss_tail=loss_tail, loss=total)
             return total, (metrics, (k, lab_ivt, valid))
 
-        grads, (metrics, enq) = jax.grad(loss_fn, has_aux=True)(state.params)
+        if sam_rho > 0:
+            grads, (metrics, enq) = sam_gradients(
+                loss_fn, state.params, rho=sam_rho, has_aux=True)
+        else:
+            grads, (metrics, enq) = jax.grad(
+                loss_fn, has_aux=True)(state.params)
         state = state.apply_gradients(grads=grads)
         # momentum update + enqueue AFTER the optimizer step
         new_key = moco_mod.momentum_update(state.params, state.key_params,

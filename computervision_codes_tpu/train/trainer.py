@@ -57,7 +57,15 @@ def count_params(params) -> int:
 def make_spatial_train_step(model, loss_type: str = "all",
                             rates: Sequence[float] = (1.0, 0.0, 0.1),
                             temperature: float = 4.0,
-                            pos_weights: Optional[Dict[str, Any]] = None):
+                            pos_weights: Optional[Dict[str, Any]] = None,
+                            sam_rho: float = 0.0):
+    """``sam_rho`` > 0 computes the gradient with two-step SAM
+    (train/optim.py:sam_gradients) instead of plain backprop — the
+    ascent-perturbed second pass re-runs the same loss_fn, so BN moments
+    come from the perturbed evaluation (the reference's SAM wrapper,
+    imbsam.py:5-41, behaves the same: the second backward recomputes BN)."""
+    from .optim import sam_gradients
+
     pos_weights = pos_weights or {}
 
     @partial(jax.jit, donate_argnums=(0,))
@@ -106,7 +114,12 @@ def make_spatial_train_step(model, loss_type: str = "all",
             metrics["loss"] = loss
             return loss, (metrics, mutated)
 
-        grads, (metrics, mutated) = jax.grad(loss_fn, has_aux=True)(state.params)
+        if sam_rho > 0:
+            grads, (metrics, mutated) = sam_gradients(
+                loss_fn, state.params, rho=sam_rho, has_aux=True)
+        else:
+            grads, (metrics, mutated) = jax.grad(
+                loss_fn, has_aux=True)(state.params)
         state = state.apply_gradients(
             grads=grads, batch_stats=mutated.get("batch_stats"))
         return state, metrics

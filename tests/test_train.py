@@ -109,6 +109,28 @@ def test_spatial_train_step_reduces_loss(tiny_spatial, rng):
     assert state.batch_stats is not None
 
 
+def test_spatial_train_step_sam(tiny_spatial, rng):
+    """--optimizer sam: the SAM step trains and one SAM update differs
+    from one plain-SGD update from the same init (the ascent perturbation
+    changes the descent gradient)."""
+    model, state = tiny_spatial
+    batch = _spatial_batch(rng)
+    sgd_state, _ = make_spatial_train_step(model, loss_type="ivt")(
+        jax.tree.map(jnp.copy, state), batch)
+    step = make_spatial_train_step(model, loss_type="ivt", sam_rho=0.5)
+    sam_state, _ = step(jax.tree.map(jnp.copy, state), batch)
+    deltas = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        sgd_state.params, sam_state.params))
+    assert max(deltas) > 0
+    # and it optimizes
+    losses = []
+    for _ in range(5):
+        sam_state, metrics = step(sam_state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
+
 def test_tcn_train_and_eval(rng):
     model = TemporalTCN(num_layers_pg=3, num_layers_r=2, num_refinements=3,
                         num_f_maps=16, num_classes=100)
