@@ -97,20 +97,32 @@ def make_spatial_train_step(model, loss_type: str = "all",
             metrics = {f"hard_loss_{k}": v for k, v in hard.items()}
             if loss_type in ("i", "v", "t", "ivt"):
                 loss = hard[loss_type]
-            else:  # 'all': multi-teacher KD mix
+            else:  # 'all': multi-teacher KD mix (Spatial_cnn/run.py:155-192)
                 hard_loss = hard["i"] + hard["v"] + hard["t"] + hard["ivt"]
-                soft = sum(
-                    distill_kl(logits[k],
-                               jax.nn.sigmoid(batch[f"teacher_pred_{k}"]),
-                               temperature)
-                    for k in ("i", "v", "t")
-                ) / 3.0
-                kd = sum(
-                    mse_feature_kd(out["kd"][k], batch[f"teacher_feat_{k}"])
-                    for k in ("i", "v", "t")
-                ) / 3.0
-                loss = rates[0] * hard_loss + rates[1] * soft + rates[2] * kd
-                metrics.update(hard_loss=hard_loss, soft_loss=soft, kd_loss=kd)
+                loss = rates[0] * hard_loss
+                metrics.update(hard_loss=hard_loss)
+                # zero-rate terms are skipped at TRACE time: a no-KD run
+                # (--rates 1 0 0) never touches the teacher tensors, so it
+                # costs nothing and — unlike the reference, where
+                # 0 * loss still backprops — cannot be poisoned by a
+                # non-finite teacher artifact (0 * nan = nan)
+                if rates[1]:
+                    soft = sum(
+                        distill_kl(logits[k],
+                                   jax.nn.sigmoid(batch[f"teacher_pred_{k}"]),
+                                   temperature)
+                        for k in ("i", "v", "t")
+                    ) / 3.0
+                    loss = loss + rates[1] * soft
+                    metrics.update(soft_loss=soft)
+                if rates[2]:
+                    kd = sum(
+                        mse_feature_kd(out["kd"][k],
+                                       batch[f"teacher_feat_{k}"])
+                        for k in ("i", "v", "t")
+                    ) / 3.0
+                    loss = loss + rates[2] * kd
+                    metrics.update(kd_loss=kd)
             metrics["loss"] = loss
             return loss, (metrics, mutated)
 

@@ -47,7 +47,10 @@ def parse_args():
                    help="Q2L backbone for the spatial teachers (must out-"
                         "know the short-trained student for KD to help)")
     p.add_argument("--teacher_epochs", type=int, default=10)
-    p.add_argument("--mstct_epochs", type=int, default=6)
+    p.add_argument("--mstct_epochs", type=int, default=8)
+    p.add_argument("--mstct_lr", type=float, default=0.02,
+                   help="stage-2 peak lr (0.05 diverged the t-task MS-TCT "
+                        "to NaN on this dataset — run of 2026-08-16)")
     p.add_argument("--student_epochs", type=int, default=1)
     p.add_argument("--tcn_epochs", type=int, default=8)
     p.add_argument("--batch", type=int, default=16)
@@ -95,6 +98,22 @@ def main():
         return os.path.exists(os.path.join(
             root, "data_feats", f"run_{version}", f"k1_{task}_{kind}.pkl"))
 
+    def assert_finite_dump(version, task, kind):
+        """Fail fast if a stage dumped non-finite artifacts — a poisoned
+        bus invalidates every downstream stage (and did: see --mstct_lr)."""
+        import pickle
+
+        import numpy as np
+
+        name = f"k1_{task}_{kind}.pkl" if task else f"k1_{kind}.pkl"
+        path = os.path.join(root, "data_feats", f"run_{version}", name)
+        with open(path, "rb") as f:
+            d = pickle.load(f)
+        vals = np.concatenate([np.asarray(v).ravel() for v in d.values()])
+        assert np.isfinite(vals).all(), (
+            f"{path}: {(~np.isfinite(vals)).mean():.1%} non-finite — "
+            f"stage diverged; lower its lr")
+
     # ---- stage 1: Q2L spatial teachers --------------------------------
     for task in ("i", "v", "t"):
         if done("TEACH", task, "feats"):
@@ -104,6 +123,7 @@ def main():
             ["-t", "-e", "-d", "--backbone", a.teacher_backbone,
              "--loss_type", task, "--epochs", str(a.teacher_epochs),
              "--version", "TEACH", "--val_interval", "2"] + common)
+        assert_finite_dump("TEACH", task, "feats")
         print(f"[stage1 Q2L {task}] test mAP {r['test_mAP'][task]:.4f} "
               f"({time.time() - t0:.0f}s)")
 
@@ -117,7 +137,9 @@ def main():
              "--feats_version", "TEACH", "--version", "TEACHMSTCT",
              "--epochs", str(a.mstct_epochs), "--window", "16",
              "--inter_channels", "32", "48", "64", "96", "--head", "4",
-             "--final_embedding_dim", "64", "--val_interval", "2"] + common)
+             "--final_embedding_dim", "64", "--val_interval", "2"] + common
+            + ["-l", str(a.mstct_lr), str(a.mstct_lr), str(a.mstct_lr)])
+        assert_finite_dump("TEACHMSTCT", task, "pred")
         print(f"[stage2 MSTCT {task}] test mAP {float(r['test_mAP']):.4f} "
               f"({time.time() - t0:.0f}s)")
 
@@ -132,6 +154,7 @@ def main():
              "--teacher_pred_version", "TEACHMSTCT", "--teacher_dim", tdim,
              "--epochs", str(a.student_epochs), "--version", tag,
              "--val_interval", "1"] + common)
+        assert_finite_dump(tag, None, "feats")
         print(f"[stage3 student {tag}] test mAP {r['test_mAP']} "
               f"({time.time() - t0:.0f}s)")
         return r

@@ -131,6 +131,31 @@ def test_spatial_train_step_sam(tiny_spatial, rng):
     assert np.isfinite(losses).all() and losses[-1] < losses[0]
 
 
+def test_zero_rate_terms_ignore_nonfinite_teachers(rng):
+    """--rates 1 0 0 must be immune to NaN teacher artifacts: zero-rate
+    loss terms are skipped at trace time (0 * nan = nan otherwise, which
+    poisoned a full pipeline run — scripts/kd_efficacy.py)."""
+    model = SpatialCNN(network="resnet18", loss_type="all", teacher_dim=16)
+    tx = build_sgd(0.01)
+    b = 2
+    img = jnp.zeros((1, 32, 56, 3), jnp.float32)
+    tf = jnp.zeros((1, 16), jnp.float32)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                               (img, tf, tf, tf))
+    batch = _spatial_batch(rng)
+    batch.update({
+        f"teacher_feat_{k}": jnp.full((b, 16), jnp.nan) for k in "ivt"})
+    batch.update({
+        "teacher_pred_i": jnp.full((b, 6), jnp.nan),
+        "teacher_pred_v": jnp.full((b, 10), jnp.nan),
+        "teacher_pred_t": jnp.full((b, 15), jnp.nan),
+    })
+    step = make_spatial_train_step(model, loss_type="all", rates=(1, 0, 0))
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert "soft_loss" not in metrics and "kd_loss" not in metrics
+
+
 def test_tcn_train_and_eval(rng):
     model = TemporalTCN(num_layers_pg=3, num_layers_r=2, num_refinements=3,
                         num_f_maps=16, num_classes=100)
