@@ -36,9 +36,11 @@ class InferenceSession:
     width: int
 
     @staticmethod
-    def _build(model, variables, batch, clip_len, height, width):
+    def _build(model, variables, batch, clip_len, height, width,
+               apply_fn=None):
         mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
         std = jnp.asarray(IMAGENET_STD, jnp.float32)
+        apply_fn = apply_fn or model.apply
 
         def forward(variables, clips, normalize):
             # ``normalize`` is static: uint8 inputs are normalized on device
@@ -47,7 +49,7 @@ class InferenceSession:
             x = clips.astype(jnp.float32)
             if normalize:
                 x = (x / 255.0 - mean) / std
-            out = model.apply(variables, x.astype(jnp.bfloat16))
+            out = apply_fn(variables, x.astype(jnp.bfloat16))
             return {k: jax.nn.sigmoid(out[k].astype(jnp.float32))
                     for k in ("ivt", "i", "v", "t")}
 
@@ -66,14 +68,32 @@ class InferenceSession:
     @classmethod
     def create(cls, batch: int = 4, clip_len: int = 256, height: int = 256,
                width: int = 448, network: str = "resnet18",
-               variables: Optional[dict] = None) -> "InferenceSession":
+               variables: Optional[dict] = None, quantize: bool = False,
+               calibrate_clips=None) -> "InferenceSession":
+        """``quantize=True`` serves the int8-PTQ backbone (models/quantized:
+        +25% throughput on-chip with calibrated static scales). Pass
+        ``calibrate_clips`` — NORMALIZED representative frames (B,T,H,W,3)
+        — to bake the static scales; without them a standard-normal batch
+        stands in (ImageNet-normalized pixels are approximately unit-scale,
+        but real frames are strictly better)."""
         model = EndToEndRecognizer(network=network, dtype=jnp.bfloat16)
         if variables is None:
             variables = model.init(
                 jax.random.PRNGKey(0),
                 jnp.zeros((1, 4, height, width, 3), jnp.bfloat16))
+        apply_fn = None
+        if quantize:
+            from .models.quantized import make_int8_e2e
+
+            if calibrate_clips is None:
+                calibrate_clips = jax.random.normal(
+                    jax.random.PRNGKey(7), (1, 8, height, width, 3),
+                    jnp.bfloat16)
+            fn, qvars = make_int8_e2e(model, variables,
+                                      calibrate_clips=calibrate_clips)
+            variables, apply_fn = qvars, fn
         compiled = cls._build(model, variables, batch, clip_len, height,
-                              width)
+                              width, apply_fn=apply_fn)
         return cls(compiled=compiled, variables=variables, batch=batch,
                    clip_len=clip_len, height=height, width=width)
 

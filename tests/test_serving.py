@@ -35,3 +35,18 @@ def test_serving_normalizes_dark_uint8_frames(rng):
     assert np.isfinite(p_dark).all()
     # the two extremes must reach the model as different normalized values
     assert not np.allclose(p_dark, p_bright)
+
+
+def test_inference_session_quantized(rng):
+    """quantize=True serves the int8-PTQ backbone with baked static scales;
+    probabilities stay valid and finite."""
+    import numpy as np
+
+    sess = InferenceSession.create(batch=1, clip_len=4, height=32, width=56,
+                                   quantize=True)
+    assert "act_scale" in sess.variables["q_backbone"]["conv1"]
+    clips = (rng.random((1, 4, 32, 56, 3)) * 255).astype(np.uint8)
+    probs = sess.predict(clips)
+    assert probs["ivt"].shape == (1, 4, 100)
+    for v in probs.values():
+        assert np.isfinite(v).all() and (0 <= v).all() and (v <= 1).all()
