@@ -117,6 +117,7 @@ def write_learnable_synthetic_dataset(
     label_corrupt: float = 0.0,
     noise: float = 20.0,
     segment_len: int = 0,
+    corrupt_videos: Optional[Sequence[str]] = None,
 ) -> str:
     """CholecT45-layout dataset whose PIXELS encode the labels.
 
@@ -131,6 +132,9 @@ def write_learnable_synthetic_dataset(
     of that many frames (surgical phases): temporal models can then
     majority-vote the per-frame pixel/label noise within a segment, so the
     MS-TCT refinement stage genuinely improves on the per-frame teacher.
+    ``corrupt_videos`` restricts label corruption to that subset (pass the
+    TRAIN split): held-out evaluation then scores against TRUTHFUL labels —
+    corrupting test labels too would cap and noise every measured mAP.
     """
     from PIL import Image
 
@@ -154,6 +158,11 @@ def write_learnable_synthetic_dataset(
 
     for vi, video in enumerate(videos):
         vr = np.random.default_rng(seed + 1000 + vi)
+        # corruption draws come from a SEPARATE stream so pixels/true labels
+        # are bit-identical across corruption settings (same seed)
+        cr = np.random.default_rng(seed + 90000 + vi)
+        corrupt_here = label_corrupt if (
+            corrupt_videos is None or video in set(corrupt_videos)) else 0.0
         frame_ids = np.arange(frames_per_video)
         img_dir = os.path.join(root, "data", video)
         os.makedirs(img_dir, exist_ok=True)
@@ -167,7 +176,7 @@ def write_learnable_synthetic_dataset(
             img = render_triplet_frame(ti, tv, tg, height, width, vr, noise)
             Image.fromarray(img).save(
                 os.path.join(img_dir, f"{int(fid):06d}.png"))
-            stored = [int(vr.choice(vocab)) if vr.random() < label_corrupt
+            stored = [int(cr.choice(vocab)) if cr.random() < corrupt_here
                       else tr for tr in true]
             st, si, sv, sg = multi_hot(stored)
             for key, vec in (("triplet", st), ("tool", si), ("verb", sv),

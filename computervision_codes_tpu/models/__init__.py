@@ -4,6 +4,9 @@ from .mstct import MSTCT
 from .moco import MoCoEncoder, MoCoQueue, TERLModel
 from .pipeline import EndToEndRecognizer
 from .q2l import Q2L, Q2LTransformer
+from .quant_dense import (collect_dense_scales, int8_apply,
+                          quantize_dense_params)
+from .quantized import make_int8_e2e, quantize_resnet, quantized_resnet_apply
 from .resnet import ResNet, build_resnet, feature_dim
 from .spatial_cnn import KDCrossTaskAttention, SpatialCNN
 from .swin import SwinTransformer, build_swin, swin_feature_dim
@@ -17,6 +20,8 @@ __all__ = [
     "MoCoEncoder", "MoCoQueue", "TERLModel",
     "EndToEndRecognizer",
     "Q2L", "Q2LTransformer",
+    "collect_dense_scales", "int8_apply", "quantize_dense_params",
+    "make_int8_e2e", "quantize_resnet", "quantized_resnet_apply",
     "ResNet", "build_resnet", "feature_dim",
     "KDCrossTaskAttention", "SpatialCNN",
     "SwinTransformer", "build_swin", "swin_feature_dim",

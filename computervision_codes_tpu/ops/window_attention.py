@@ -137,6 +137,11 @@ def window_attention_pallas_multi(q, k, v, bias, mask=None, nw: int = 1,
         functools.partial(_kernel_multi, num_heads=h, scale=d ** -0.5),
         out_shape=jax.ShapeDtypeStruct((bw, h, n, d), q.dtype),
         grid=(bw // g,),
+        # the batched f32 score tensor (g*h, n, n) exceeds Mosaic's 16 MiB
+        # default scoped-vmem at Swin sizes (measured: 26.4 MiB at g=8,
+        # h=6, n=144); v5e has 128 MiB VMEM — allow most of it
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         in_specs=[
             pl.BlockSpec((g, h, n, d), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),

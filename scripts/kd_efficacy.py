@@ -52,7 +52,10 @@ def parse_args():
                    help="stage-2 peak lr (0.05 diverged the t-task MS-TCT "
                         "to NaN on this dataset — run of 2026-08-16)")
     p.add_argument("--student_epochs", type=int, default=1)
-    p.add_argument("--tcn_epochs", type=int, default=8)
+    p.add_argument("--tcn_epochs", type=int, default=12)
+    p.add_argument("--tcn_lr", type=float, default=0.01,
+                   help="stage-4 peak lr (0.05 collapses the tiny TCN to a "
+                        "constant predictor on 8-frame synthetic videos)")
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--lr", type=float, default=0.05)
     p.add_argument("--seed", type=int, default=47)
@@ -78,10 +81,14 @@ def main():
     ckpt = os.path.join(root, "ckpt")
     split = resolve_split("cholect45-crossval", 1)
     if not os.path.exists(os.path.join(root, "triplet")):
+        # corrupt ONLY the train split's stored labels: val selection and
+        # held-out scoring stay truthful (corrupted eval labels cap and
+        # noise every measured mAP)
         write_learnable_synthetic_dataset(
             root, split.all_videos, frames_per_video=a.frames, height=a.size,
             width=a.size, seed=a.seed, label_corrupt=a.label_corrupt,
-            noise=a.noise, segment_len=a.segment_len)
+            noise=a.noise, segment_len=a.segment_len,
+            corrupt_videos=split.train)
     print(f"[kd_efficacy] dataset at {root} "
           f"({len(split.all_videos)} videos x {a.frames} frames, "
           f"corrupt={a.label_corrupt})")
@@ -135,7 +142,8 @@ def main():
         r = temporal_mstct.main(
             ["-t", "-e", "-d", "--loss_type", task,
              "--feats_version", "TEACH", "--version", "TEACHMSTCT",
-             "--epochs", str(a.mstct_epochs), "--window", "16",
+             "--epochs", str(a.mstct_epochs),
+             "--window", str(min(16, a.frames)),
              "--inter_channels", "32", "48", "64", "96", "--head", "4",
              "--final_embedding_dim", "64", "--val_interval", "2"] + common
             + ["-l", str(a.mstct_lr), str(a.mstct_lr), str(a.mstct_lr)])
@@ -168,7 +176,8 @@ def main():
             ["-t", "-e", "--feats_version", tag, "--version", tag,
              "--epochs", str(a.tcn_epochs), "--num_layers_PG", "3",
              "--num_layers_R", "3", "--num_f_maps", "16",
-             "--val_interval", "2"] + common)
+             "--val_interval", "2"] + common
+            + ["-l", str(a.tcn_lr), str(a.tcn_lr), str(a.tcn_lr)])
         print(f"[stage4 TCN {tag}] test mAP {r['test_mAP']} "
               f"({time.time() - t0:.0f}s)")
         return r

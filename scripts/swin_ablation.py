@@ -39,7 +39,7 @@ def report(name, frames, secs):
                       "per_step_ms": round(secs * 1000, 2)}))
 
 
-def main(batch=16):
+def main(batch=16, skip_base=False):
     from computervision_codes_tpu.models.q2l import Q2L
     from computervision_codes_tpu.models.swin import SwinTransformer, VARIANTS
 
@@ -49,46 +49,54 @@ def main(batch=16):
     cfg = VARIANTS["swin_L_384_22k"]
     imgs = jax.random.normal(rng, (batch, 384, 384, 3), jnp.bfloat16)
 
-    # 1) full Q2L teacher (the BENCH row)
-    q2l = Q2L(backbone="swin_L_384_22k", loss_type="i", dtype=jnp.bfloat16)
-    qv = q2l.init(rng, imgs[:1])
-    s = timed_scan(lambda v, x: q2l.apply(v, x)["logits"]["i"].astype(
-        jnp.float32).mean(), qv, imgs, eps)
-    report(f"Q2L SwinL-384 full (b={batch})", batch, s)
-
-    # 2) backbone alone
     swin = SwinTransformer(dtype=jnp.bfloat16, **cfg)
     sv = swin.init(rng, imgs[:1])
-    s = timed_scan(lambda v, x: swin.apply(v, x)["pooled"].astype(
-        jnp.float32).mean(), sv, imgs, eps)
-    report(f"SwinL backbone alone (b={batch})", batch, s)
 
-    # 3) per-stage stacks: truncate depths progressively
-    for stages in (1, 2, 3):
-        cfg_t = dict(cfg)
-        cfg_t["depths"] = cfg["depths"][:stages]
-        cfg_t["num_heads"] = cfg["num_heads"][:stages]
-        m = SwinTransformer(dtype=jnp.bfloat16, **cfg_t)
-        mv = m.init(rng, imgs[:1])
-        s = timed_scan(lambda v, x, m=m: m.apply(v, x)["pooled"].astype(
-            jnp.float32).mean(), mv, imgs, eps)
-        report(f"SwinL stages 1..{stages} (b={batch})", batch, s)
-
-    # 4) batch scaling on the full teacher
-    for b2 in (32,):
-        imgs2 = jax.random.normal(rng, (b2, 384, 384, 3), jnp.bfloat16)
+    if not skip_base:
+        # 1) full Q2L teacher (the BENCH row)
+        q2l = Q2L(backbone="swin_L_384_22k", loss_type="i",
+                  dtype=jnp.bfloat16)
+        qv = q2l.init(rng, imgs[:1])
         s = timed_scan(lambda v, x: q2l.apply(v, x)["logits"]["i"].astype(
-            jnp.float32).mean(), qv, imgs2, eps)
-        report(f"Q2L SwinL-384 full (b={b2})", b2, s)
+            jnp.float32).mean(), qv, imgs, eps)
+        report(f"Q2L SwinL-384 full (b={batch})", batch, s)
+
+        # 2) backbone alone
+        s = timed_scan(lambda v, x: swin.apply(v, x)["pooled"].astype(
+            jnp.float32).mean(), sv, imgs, eps)
+        report(f"SwinL backbone alone (b={batch})", batch, s)
+
+        # 3) per-stage stacks: truncate depths progressively
+        for stages in (1, 2, 3):
+            cfg_t = dict(cfg)
+            cfg_t["depths"] = cfg["depths"][:stages]
+            cfg_t["num_heads"] = cfg["num_heads"][:stages]
+            m = SwinTransformer(dtype=jnp.bfloat16, **cfg_t)
+            mv = m.init(rng, imgs[:1])
+            s = timed_scan(lambda v, x, m=m: m.apply(v, x)["pooled"].astype(
+                jnp.float32).mean(), mv, imgs, eps)
+            report(f"SwinL stages 1..{stages} (b={batch})", batch, s)
+
+        # 4) batch scaling on the full teacher
+        for b2 in (32,):
+            imgs2 = jax.random.normal(rng, (b2, 384, 384, 3), jnp.bfloat16)
+            s = timed_scan(lambda v, x: q2l.apply(v, x)["logits"]["i"].astype(
+                jnp.float32).mean(), qv, imgs2, eps)
+            report(f"Q2L SwinL-384 full (b={b2})", b2, s)
 
     # 5) multi-window fused attention kernel vs XLA (same params)
-    for g in (8, 16, 32):
+    for g in (2, 4, 8, 16):
         fused = SwinTransformer(dtype=jnp.bfloat16, use_fused_attn=True,
                                 fused_block=g, **cfg)
-        s = timed_scan(lambda v, x, m=fused: m.apply(v, x)["pooled"].astype(
-            jnp.float32).mean(), sv, imgs, eps)
+        try:
+            s = timed_scan(lambda v, x, m=fused: m.apply(v, x)[
+                "pooled"].astype(jnp.float32).mean(), sv, imgs, eps)
+        except Exception as e:  # e.g. VMEM OOM at large G
+            print(json.dumps({"metric": f"fused-attn G={g}",
+                              "error": str(e).split("\n")[0][:160]}))
+            continue
         report(f"SwinL backbone fused-attn G={g} (b={batch})", batch, s)
 
 
 if __name__ == "__main__":
-    main()
+    main(skip_base="--skip_base" in sys.argv)
