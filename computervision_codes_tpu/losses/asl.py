@@ -39,7 +39,13 @@ def asymmetric_loss(
     if gamma_neg > 0 or gamma_pos > 0:
         pt = xs_pos * targets + xs_neg * anti
         gamma = gamma_pos * targets + gamma_neg * anti
-        loss = loss * jnp.power(1.0 - pt, gamma)
+        # the focal weight is a CONSTANT wrt gradients: the reference runs
+        # AsymmetricLossOptimized with disable_torch_grad_focal_loss=True
+        # (TERL run.py:531-536, aslloss.py:42-50). Backpropping through
+        # jnp.power(1-pt, gamma) would also NaN at saturation when a gamma
+        # entry is 0 (d/dx x^0 = 0 * x^-1 = nan at x=0) — observed blowing
+        # up TERL training on synthetic data the moment sigmoids saturate.
+        loss = loss * jax.lax.stop_gradient(jnp.power(1.0 - pt, gamma))
     if sample_weight is not None:
         w = sample_weight.astype(jnp.float32)[:, None]
         loss = loss * w

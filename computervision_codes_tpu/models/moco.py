@@ -297,6 +297,21 @@ def prototype_logits(feats: jnp.ndarray, queue: MoCoQueue) -> Dict[str, jnp.ndar
             "t": feats @ queue.proto_t.T}
 
 
+def l2_normalize(x: jnp.ndarray, eps: float = 1e-3) -> jnp.ndarray:
+    """Gradient-safe L2 normalize (torch F.normalize parity at |x| >> eps).
+
+    torch's eps=1e-12 floor makes the backward pass scale like 1/eps for
+    near-zero vectors: with a from-scratch CAM-disentangle the anchor
+    features CAN be near zero, and the resulting ~1e12 gradient explodes
+    training to NaN within a step (observed on synthetic data,
+    scripts/terl_efficacy.py; the reference never trips this because it
+    always starts from pretrained backbones). The squared-norm floor keeps
+    the gradient bounded by 1/eps with a sane eps while being exactly
+    x/|x| whenever |x| >= eps."""
+    sq = jnp.sum(jnp.square(x), axis=-1, keepdims=True)
+    return x / jnp.sqrt(jnp.maximum(sq, eps * eps))
+
+
 def momentum_update(params_q, params_k, m: float):
     """EMA of the key parameters (reference :156-173)."""
     return jax.tree.map(lambda kp, qp: kp * m + qp * (1.0 - m),

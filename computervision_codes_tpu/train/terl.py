@@ -162,8 +162,7 @@ def make_terl_train_step(model: TERLModel, w_con: float = 1.0,
             y_tail = moco_mod.apply_cam_ivt(
                 params["encoder"], q_maps,
                 ht_mask=ht_masks["ivt"] if ht_masks else None)
-            q = q_pooled / jnp.maximum(
-                jnp.linalg.norm(q_pooled, axis=-1, keepdims=True), 1e-12)
+            q = moco_mod.l2_normalize(q_pooled)
 
             # key anchors (EMA params, stop-gradient)
             k_enc = state.apply_fn(
@@ -173,8 +172,7 @@ def make_terl_train_step(model: TERLModel, w_con: float = 1.0,
                 {"params": state.key_params}, k_enc, s_idx, c_idx,
                 method=TERLModel.disentangle)
             k_pooled = jax.lax.stop_gradient(k_pooled)
-            k = k_pooled / jnp.maximum(
-                jnp.linalg.norm(k_pooled, axis=-1, keepdims=True), 1e-12)
+            k = moco_mod.l2_normalize(k_pooled)
 
             lab_ivt = class_map[c_idx]  # original 100-space ids
             cl = moco_mod.moco_logits(q, k, queue)

@@ -40,10 +40,12 @@ def parse_args():
     p.add_argument("--frames", type=int, default=8)
     p.add_argument("--size", type=int, default=64)
     p.add_argument("--noise", type=float, default=55.0)
-    p.add_argument("--epochs", type=int, default=8)
-    p.add_argument("--w_epoch", type=int, default=3)
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--w_epoch", type=int, default=2)
     p.add_argument("--batch", type=int, default=16)
-    p.add_argument("--lr", type=float, default=0.05)
+    p.add_argument("--lr", type=float, default=1e-5,
+                   help="the TERL ASL is x1000-scaled, so reference-scale "
+                        "lrs apply (runT.sh trains at 1e-5); 0.05 diverges")
     p.add_argument("--seeds", type=int, nargs="+", default=[47, 48])
     p.add_argument("--root", type=str, default="")
     p.add_argument("--skip_assert", action="store_true")
@@ -72,7 +74,7 @@ def main():
     def run(tag, seed, w_con, w_proto, w_tail):
         r = terl_learnt.main(
             ["-t", "-e", "--backbone", "swin_nano_64", "--img_size",
-             str(a.size), "--moco_k", "256", "--kcl_k", "3",
+             str(a.size), "--moco_k", "256", "--kcl_k", "3", "--mlp",
              "--max_anchors_per_image", "2",
              "--epochs", str(a.epochs), "--w_epoch", str(a.w_epoch),
              "--w_con", str(w_con), "--w_proto", str(w_proto),

@@ -86,6 +86,40 @@ def test_asl_variants_match_torch(rng):
     np.testing.assert_allclose(got_sum, float(-base2.sum()), rtol=1e-4)
 
 
+def test_asl_gradient_matches_reference_no_grad_focal(rng):
+    """The focal weight is gradient-constant (the reference runs
+    disable_torch_grad_focal_loss=True, TERL run.py:531-536). Also: grads
+    stay finite at SATURATED logits with gamma_pos=0 — backpropping
+    through pow(1-pt, 0) is d/dx x^0 = nan at pt=1, which blew up TERL
+    training the moment its sigmoids saturated."""
+    import torch
+
+    x = rng.standard_normal((4, 6)).astype(np.float32) * 3
+    x[0, 0] = 40.0   # saturated positive (pt=1 exactly in fp32)
+    x[1, 1] = -40.0  # saturated negative
+    y = (rng.random((4, 6)) < 0.4).astype(np.float32)
+    y[0, 0] = 1.0
+    y[1, 1] = 0.0
+
+    xt = torch.tensor(x, requires_grad=True)
+    yt = torch.tensor(y)
+    xs_pos = torch.sigmoid(xt)
+    xs_neg = 1.0 - xs_pos
+    loss = yt * torch.log(xs_pos.clamp(min=1e-5))
+    loss = loss + (1 - yt) * torch.log(xs_neg.clamp(min=1e-5))
+    with torch.no_grad():  # the reference's disable_torch_grad_focal_loss
+        pt = xs_pos * yt + xs_neg * (1 - yt)
+        w = torch.pow(1 - pt, 0.0 * yt + 2.0 * (1 - yt))
+    ((-loss * w).sum(dim=0) / x.shape[0] * 1000).mean().backward()
+    want = xt.grad.numpy()
+
+    got = np.asarray(jax.grad(lambda lx: asymmetric_loss(
+        lx, jnp.asarray(y), gamma_neg=2, gamma_pos=0, clip=0, eps=1e-5,
+        reduction="mean_terl"))(jnp.asarray(x)))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-7)
+
+
 def test_component_max_consistency(rng):
     from computervision_codes_tpu.data.bank import load_bank
 
