@@ -31,8 +31,30 @@ import jax.numpy as jnp
 A100_REFERENCE_FPS_ESTIMATE = 2500.0
 
 
+def _chained_fps(apply_fn, variables, stacked, batch, clip_len, n_bufs,
+                 iters):
+    @jax.jit
+    def bench_fn(v, stacked):
+        # the whole timing loop is ONE device program: scan over steps,
+        # each consuming a rotating input buffer, chained into a scalar
+        def step(acc, i):
+            clips = stacked[i % n_bufs]
+            out = apply_fn(v, clips)["ivt"].astype(jnp.float32).mean()
+            return acc + out, None
+
+        total, _ = jax.lax.scan(step, jnp.zeros(()), jnp.arange(iters))
+        return total
+
+    float(bench_fn(variables, stacked))  # warmup / compile + full round-trip
+    start = time.perf_counter()
+    checksum = float(bench_fn(variables, stacked))  # one host round-trip
+    elapsed = time.perf_counter() - start
+    return batch * clip_len * iters / elapsed, elapsed, checksum
+
+
 def main():
     from computervision_codes_tpu.models.pipeline import EndToEndRecognizer
+    from computervision_codes_tpu.models.quantized import make_int8_e2e
 
     batch, clip_len = 4, 256  # 4 full 256-frame clips per step
     model = EndToEndRecognizer(dtype=jnp.bfloat16)
@@ -43,36 +65,30 @@ def main():
     stacked = jax.random.normal(
         jax.random.PRNGKey(2), (n_bufs, batch, clip_len, 256, 448, 3),
         jnp.bfloat16)
-
-    @jax.jit
-    def bench_fn(v, stacked):
-        # the whole timing loop is ONE device program: scan over steps,
-        # each consuming a rotating input buffer, chained into a scalar
-        def step(acc, i):
-            clips = stacked[i % n_bufs]
-            out = model.apply(v, clips)["ivt"].astype(jnp.float32).mean()
-            return acc + out, None
-
-        total, _ = jax.lax.scan(step, jnp.zeros(()), jnp.arange(iters))
-        return total
-
     jax.block_until_ready(stacked)
-    float(bench_fn(variables, stacked))  # warmup / compile + full round-trip
 
-    start = time.perf_counter()
-    checksum = float(bench_fn(variables, stacked))  # one host round-trip
-    elapsed = time.perf_counter() - start
-    fps = batch * clip_len * iters / elapsed
+    fps_bf16, _, _ = _chained_fps(lambda v, c: model.apply(v, c), variables,
+                                  stacked, batch, clip_len, n_bufs, iters)
+
+    # the deployed serving config: int8-PTQ backbone with calibrated static
+    # activation scales + bf16 TCN (models/quantized.py; accuracy-guarded
+    # by tests/test_quantized.py — logits corr > 0.98 vs float)
+    fn, qvars = make_int8_e2e(model, variables,
+                              calibrate_clips=stacked[0, :1, :32])
+    fps, elapsed, checksum = _chained_fps(fn, qvars, stacked, batch,
+                                          clip_len, n_bufs, iters)
 
     print(json.dumps({
         "metric": "video frames/sec/chip pixels->logits (ResNet18+TCN e2e, "
-                  "256x448 bf16)",
+                  "256x448, int8-PTQ backbone + bf16 TCN)",
         "value": round(fps, 1),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / A100_REFERENCE_FPS_ESTIMATE, 3),
         "detail": {
             "batch": batch, "clip_len": clip_len, "iters": iters,
             "elapsed_s": round(elapsed, 3), "checksum": round(checksum, 4),
+            "bf16_fps": round(fps_bf16, 1),
+            "int8_speedup": round(fps / fps_bf16, 3),
             "baseline_anchor": "A100 reference-student estimate "
                                f"{A100_REFERENCE_FPS_ESTIMATE} fps",
             "device": str(jax.devices()[0]),
