@@ -84,7 +84,9 @@ def write_synthetic_dataset(
 def render_triplet_frame(tool: np.ndarray, verb: np.ndarray,
                          target: np.ndarray, height: int, width: int,
                          rng: np.random.Generator,
-                         noise: float = 20.0) -> np.ndarray:
+                         noise: float = 20.0,
+                         confusers: int = 0,
+                         confuser_intensity: float = 140.0) -> np.ndarray:
     """Render component labels into pixels (for KD-efficacy experiments).
 
     The frame is split into three horizontal bands — tools (6 slots), verbs
@@ -92,16 +94,28 @@ def render_triplet_frame(tool: np.ndarray, verb: np.ndarray,
     Gaussian pixel noise on top the mapping pixels -> labels is learnable
     by a small CNN but not trivially saturated, which is what lets a
     longer-trained teacher genuinely out-know a short-trained student.
+
+    ``confusers`` > 0 additionally half-lights that many RANDOM slots per
+    frame at ``confuser_intensity`` — structured nuisance a CNN cannot
+    average away (unlike i.i.d. noise), so few-shot classes can overfit
+    spurious slot patterns; the lever for tail-class experiments.
     """
     img = np.full((height, width, 3), 32.0)
     bands = ((tool, 0), (verb, 1), (target, 2))
     bh = height // 3
-    for vec, bi in bands:
-        n = len(vec)
+
+    def slot(bi, n, k, value):
         sw = width / n
+        x0, x1 = int(k * sw), max(int((k + 1) * sw), int(k * sw) + 1)
+        img[bi * bh:(bi + 1) * bh, x0:x1] = value
+
+    for _ in range(confusers):
+        bi = int(rng.integers(0, 3))
+        n = (6, 10, 15)[bi]
+        slot(bi, n, int(rng.integers(0, n)), confuser_intensity)
+    for vec, bi in bands:
         for k in np.nonzero(vec)[0]:
-            x0, x1 = int(k * sw), max(int((k + 1) * sw), int(k * sw) + 1)
-            img[bi * bh:(bi + 1) * bh, x0:x1] = 220.0
+            slot(bi, len(vec), k, 220.0)
     img += rng.standard_normal(img.shape) * noise
     return np.clip(img, 0, 255).astype(np.uint8)
 
@@ -118,6 +132,8 @@ def write_learnable_synthetic_dataset(
     noise: float = 20.0,
     segment_len: int = 0,
     corrupt_videos: Optional[Sequence[str]] = None,
+    vocab_probs: Optional[Sequence[float]] = None,
+    confusers: int = 0,
 ) -> str:
     """CholecT45-layout dataset whose PIXELS encode the labels.
 
@@ -135,6 +151,10 @@ def write_learnable_synthetic_dataset(
     ``corrupt_videos`` restricts label corruption to that subset (pass the
     TRAIN split): held-out evaluation then scores against TRUTHFUL labels —
     corrupting test labels too would cap and noise every measured mAP.
+    ``vocab_probs`` weights each vocab member's inclusion probability
+    (normalized): small weights make RARE (tail) classes for contrastive
+    tail-learning experiments. ``confusers`` per-frame half-lit random
+    slots (see render_triplet_frame).
     """
     from PIL import Image
 
@@ -168,12 +188,18 @@ def write_learnable_synthetic_dataset(
         os.makedirs(img_dir, exist_ok=True)
         rows = {k: [] for k in ("triplet", "tool", "verb", "target")}
         true = []
+        probs = None
+        if vocab_probs is not None:
+            probs = np.asarray(vocab_probs, np.float64)
+            probs = probs / probs.sum()
         for fi, fid in enumerate(frame_ids):
             if segment_len <= 0 or fi % segment_len == 0:
                 k = int(vr.integers(0, 3))
-                true = list(vr.choice(vocab, size=k, replace=False))
+                true = list(vr.choice(vocab, size=k, replace=False,
+                                      p=probs))
             _, ti, tv, tg = multi_hot(true)
-            img = render_triplet_frame(ti, tv, tg, height, width, vr, noise)
+            img = render_triplet_frame(ti, tv, tg, height, width, vr, noise,
+                                       confusers=confusers)
             Image.fromarray(img).save(
                 os.path.join(img_dir, f"{int(fid):06d}.png"))
             stored = [int(cr.choice(vocab)) if cr.random() < corrupt_here
