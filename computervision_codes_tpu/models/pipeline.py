@@ -20,10 +20,13 @@ from .tcn import TemporalTCN
 
 
 class EndToEndRecognizer(nn.Module):
-    """ResNet student over frames + causal TCN temporal head (deployed path).
+    """ResNet student over frames + TCN temporal head (deployed path).
 
     Input (B, T, H, W, 3) normalized frames; output per-frame logits for all
     four tasks from TCN pyramid level 0 plus the per-frame spatial logits.
+    ``causal=True`` makes every temporal layer front-padded, enabling exact
+    online inference (serving.StreamingSession); the default symmetric
+    variant matches the reference's offline TCN.
     """
 
     network: str = "resnet18"
@@ -31,6 +34,7 @@ class EndToEndRecognizer(nn.Module):
     num_layers_r: int = 10
     num_refinements: int = 3
     num_f_maps: int = 512
+    causal: bool = False  # True = online-capable head (StreamingSession)
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -45,7 +49,7 @@ class EndToEndRecognizer(nn.Module):
         tcn = TemporalTCN(num_layers_pg=self.num_layers_pg,
                           num_layers_r=self.num_layers_r,
                           num_refinements=self.num_refinements,
-                          num_f_maps=self.num_f_maps,
+                          num_f_maps=self.num_f_maps, causal=self.causal,
                           channel_dropout=0.0, dtype=self.dtype, name="tcn")
         out = tcn(seq, train=train)
         return {

@@ -72,10 +72,10 @@ class DilatedResidualLayer(nn.Module):
         w_taps = w_taps.astype(self.dtype)
         d = self.dilation
         t = x.shape[1]
-        if self.use_fused and not self.causal and not train:
+        if self.use_fused and not train:
             out_res = dilated_residual_fused(
                 x, w_taps, b1.astype(self.dtype), w2.astype(self.dtype),
-                b2.astype(self.dtype), d)
+                b2.astype(self.dtype), d, self.causal)
             # fused path includes the residual; dropout is identity in eval
             return out_res
         if self.causal:

@@ -127,3 +127,103 @@ class InferenceSession:
                 f"got {clips.shape}")
         out = self.compiled[normalize](self.variables, clips)
         return {k: np.asarray(v) for k, v in out.items()}
+
+
+@dataclass
+class StreamingSession:
+    """Online per-frame inference: push one frame, get current probabilities.
+
+    Live surgical video needs per-frame LATENCY, not batch throughput — a
+    mode the reference has no story for (its eval scripts are offline-only).
+    The session keeps a device-resident ring buffer of the last ``context``
+    backbone features; each ``push`` runs ONE compiled program: backbone on
+    the new frame, shift-append into the buffer, causal TCN over the
+    buffer, last-position probabilities out. Because every temporal layer
+    is causal (front-padded; EndToEndRecognizer(causal=True)), the stream
+    output at step t is EXACTLY the offline output at position t once t
+    reaches the TCN's receptive field (unit-tested equivalence,
+    tests/test_serving.py).
+    """
+
+    compiled: object
+    variables: dict
+    buffer: object  # (1, context, D) device array, rolls left
+    context: int
+    height: int
+    width: int
+    frames_seen: int = 0
+
+    @classmethod
+    def create(cls, context: int = 256, height: int = 256, width: int = 448,
+               network: str = "resnet18", variables: Optional[dict] = None,
+               num_layers_pg: int = 11, num_layers_r: int = 10,
+               num_refinements: int = 3, num_f_maps: int = 512,
+               dtype=jnp.bfloat16) -> "StreamingSession":
+        from .models.resnet import VARIANTS as RESNET_VARIANTS, ResNet
+        from .models.resnet import feature_dim
+        from .models.tcn import TemporalTCN
+
+        model = EndToEndRecognizer(
+            network=network, causal=True, num_layers_pg=num_layers_pg,
+            num_layers_r=num_layers_r, num_refinements=num_refinements,
+            num_f_maps=num_f_maps, dtype=dtype)
+        if variables is None:
+            variables = model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, 4, height, width, 3), dtype))
+        sizes, block = RESNET_VARIANTS[network]
+        backbone = ResNet(stage_sizes=sizes, block_cls=block, dtype=dtype)
+        tcn = TemporalTCN(num_layers_pg=num_layers_pg,
+                          num_layers_r=num_layers_r,
+                          num_refinements=num_refinements,
+                          num_f_maps=num_f_maps, causal=True,
+                          channel_dropout=0.0, dtype=dtype)
+        mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+        std = jnp.asarray(IMAGENET_STD, jnp.float32)
+
+        def step(variables, buffer, frame, normalize):
+            x = frame.astype(jnp.float32)
+            if normalize:
+                x = (x / 255.0 - mean) / std
+            bvars = {"params": variables["params"]["backbone"]}
+            if "batch_stats" in variables:
+                bvars["batch_stats"] = variables["batch_stats"]["backbone"]
+            feat = backbone.apply(bvars, x.astype(dtype))["pooled"]
+            buffer = jnp.concatenate([buffer[:, 1:], feat[:, None]], axis=1)
+            out = tcn.apply({"params": variables["params"]["tcn"]}, buffer)
+            probs = {k: jax.nn.sigmoid(out[k][0][:, -1].astype(jnp.float32))
+                     for k in ("ivt", "i", "v", "t")}
+            return buffer, probs
+
+        var_shapes = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), variables)
+        dim = feature_dim(network)
+        buf_shape = jax.ShapeDtypeStruct((1, context, dim), dtype)
+        jitted = jax.jit(step, static_argnums=(3,), donate_argnums=(1,))
+        compiled = {}
+        for in_dtype, normalize in ((jnp.uint8, True), (dtype, False)):
+            fshape = jax.ShapeDtypeStruct((1, height, width, 3), in_dtype)
+            compiled[normalize] = jitted.lower(
+                var_shapes, buf_shape, fshape, normalize).compile()
+        buffer = jnp.zeros((1, context, dim), dtype)
+        return cls(compiled=compiled, variables=variables, buffer=buffer,
+                   context=context, height=height, width=width)
+
+    def push(self, frame) -> Dict[str, np.ndarray]:
+        """One frame (H, W, 3) or (1, H, W, 3), uint8 or normalized float ->
+        probabilities for the CURRENT frame."""
+        arr = np.asarray(frame)
+        if arr.ndim == 3:
+            arr = arr[None]
+        normalize = arr.dtype == np.uint8
+        frame = jnp.asarray(
+            arr, jnp.uint8 if normalize else self.buffer.dtype)
+        self.buffer, probs = self.compiled[normalize](
+            self.variables, self.buffer, frame)
+        self.frames_seen += 1
+        return {k: np.asarray(v)[0] for k, v in probs.items()}
+
+    def reset(self) -> None:
+        """Start a new video: zero the feature ring buffer."""
+        self.buffer = jnp.zeros_like(self.buffer)
+        self.frames_seen = 0

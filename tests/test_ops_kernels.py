@@ -33,6 +33,24 @@ def test_dilated_residual_pallas_matches_reference(rng, dilation):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
 
 
+@pytest.mark.parametrize("dilation", [1, 4, 16])
+def test_dilated_residual_pallas_causal(rng, dilation):
+    """Causal variant: taps (t-2d, t-d, t), front-zero-padded — the
+    streaming/online TCN path (serving.StreamingSession)."""
+    x, w_taps, b1, w2, b2 = _layer(rng)
+    want = dilated_residual_reference(x, w_taps, b1, w2, b2, dilation,
+                                      causal=True)
+    got = dilated_residual_pallas(x, w_taps, b1, w2, b2, dilation,
+                                  block_t=32, causal=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+    # causality: future frames cannot change past outputs
+    x2 = x.at[:, -1].add(100.0)
+    got2 = dilated_residual_pallas(x2, w_taps, b1, w2, b2, dilation,
+                                   block_t=32, causal=True)
+    np.testing.assert_array_equal(np.asarray(got2[:, :-1]),
+                                  np.asarray(got[:, :-1]))
+
+
 def test_dilated_residual_reference_matches_torch_conv(rng):
     import torch
 

@@ -50,3 +50,40 @@ def test_inference_session_quantized(rng):
     assert probs["ivt"].shape == (1, 4, 100)
     for v in probs.values():
         assert np.isfinite(v).all() and (0 <= v).all() and (v <= 1).all()
+
+
+def test_streaming_matches_offline_causal(rng):
+    """StreamingSession output at step t == offline causal e2e output at
+    position t once t exceeds the TCN receptive field (exact online
+    inference — the ring buffer's zero prefix falls outside the causal
+    cone)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from computervision_codes_tpu.models.pipeline import EndToEndRecognizer
+    from computervision_codes_tpu.serving import StreamingSession
+
+    kw = dict(num_layers_pg=3, num_layers_r=2, num_refinements=2,
+              num_f_maps=16)
+    ctx, h, w = 32, 32, 56
+    model = EndToEndRecognizer(causal=True, dtype=jnp.float32, **kw)
+    clips = jnp.asarray(rng.standard_normal((1, ctx, h, w, 3)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(3), clips[:, :4])
+    offline = jax.nn.sigmoid(
+        model.apply(variables, clips)["ivt"].astype(jnp.float32))
+
+    sess = StreamingSession.create(context=ctx, height=h, width=w,
+                                   variables=variables, dtype=jnp.float32,
+                                   **kw)
+    # receptive field: pg d=1,2,4 (reach 14) + 2 refinements x (d=1,2 -> 6)
+    rf = 14 + 2 * 6
+    for t in range(ctx):
+        probs = sess.push(np.asarray(clips[0, t], np.float32))
+        if t >= rf:
+            np.testing.assert_allclose(
+                probs["ivt"], np.asarray(offline[0, t]), atol=1e-5,
+                err_msg=f"step {t}")
+    assert sess.frames_seen == ctx
+    sess.reset()
+    assert sess.frames_seen == 0
