@@ -42,6 +42,31 @@ def test_two_stage_pipeline_smoke(tiny_root, tmp_path):
     assert 0.0 <= res2["test_mAP"]["ivt"] <= 1.0
 
 
+def test_crossval_orchestrator_aggregates(tiny_root, tmp_path):
+    """cli.crossval runs a stage across folds and reports per-fold + mean
+    (the protocol behind the published Table VII numbers)."""
+    from computervision_codes_tpu.cli import crossval
+    from computervision_codes_tpu.data.feature_store import FeatureStore
+    from computervision_codes_tpu.data.synthetic import synthetic_feature_dict
+
+    split = resolve_split("cholect45-crossval", 1)
+    store = FeatureStore(tiny_root + "/data_feats", "cv")
+    for fold in (1, 2):
+        store.save(fold, "feats",
+                   synthetic_feature_dict(split.all_videos, 2, 16, seed=fold))
+
+    res = crossval.main([
+        "--stage", "temporal_tcn", "--folds", "1", "2", "--",
+        "--data_dir", tiny_root, "-t", "-e", "--feats_version", "cv",
+        "--epochs", "1", "--num_layers_PG", "2", "--num_layers_R", "2",
+        "--num_f_maps", "8", "--version", "cv",
+        "--ckpt_root", str(tmp_path / "cv"), "--val_interval", "99",
+    ])
+    assert res["stage"] == "temporal_tcn"
+    assert set(res["per_fold"]) == {1, 2}
+    assert 0.0 <= res["mean"]["ivt"] <= 1.0
+
+
 def test_prefetch_to_device(rng):
     from computervision_codes_tpu.data.prefetch import prefetch_to_device
 
