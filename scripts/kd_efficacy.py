@@ -48,9 +48,14 @@ def parse_args():
                         "know the short-trained student for KD to help)")
     p.add_argument("--teacher_epochs", type=int, default=10)
     p.add_argument("--mstct_epochs", type=int, default=8)
-    p.add_argument("--mstct_lr", type=float, default=0.02,
+    p.add_argument("--mstct_lr", type=float, default=0.005,
                    help="stage-2 peak lr (0.05 diverged the t-task MS-TCT "
-                        "to NaN on this dataset — run of 2026-08-16)")
+                        "and 0.02 the i-task on longer videos; the "
+                        "reference itself ramps MS-TCT over a 500-epoch "
+                        "warmup, Scripts/train_fold1.sh:16)")
+    p.add_argument("--mstct_warmup", type=int, default=3,
+                   help="stage-2 warmup epochs (reference protocol warms "
+                        "up 25%% of training)")
     p.add_argument("--student_epochs", type=int, default=1)
     p.add_argument("--tcn_epochs", type=int, default=12)
     p.add_argument("--tcn_lr", type=float, default=0.01,
@@ -146,7 +151,9 @@ def main():
              "--window", str(min(16, a.frames)),
              "--inter_channels", "32", "48", "64", "96", "--head", "4",
              "--final_embedding_dim", "64", "--val_interval", "2"] + common
-            + ["-l", str(a.mstct_lr), str(a.mstct_lr), str(a.mstct_lr)])
+            + ["-l", str(a.mstct_lr), str(a.mstct_lr), str(a.mstct_lr),
+               "-w", str(a.mstct_warmup), str(a.mstct_warmup),
+               str(a.mstct_warmup)])
         assert_finite_dump("TEACHMSTCT", task, "pred")
         print(f"[stage2 MSTCT {task}] test mAP {float(r['test_mAP']):.4f} "
               f"({time.time() - t0:.0f}s)")
