@@ -129,6 +129,14 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
     example = jnp.zeros((1, flags.img_size, flags.img_size, 3), jnp.float32)
     state = create_terl_state(model, tx, rng, example,
                               queue_size=flags.moco_k, ht_masks=ht_masks)
+    if flags.pretrain_dir:
+        # warm-start from another TERL run's checkpoint (same model
+        # config) — the reference's regime always starts from pretrained
+        # backbones (runT.sh loads ImageNet Swin); this is the offline
+        # equivalent for experiments
+        state = CheckpointManager(flags.pretrain_dir, modelname).restore(
+            state)
+        logger.log(f"Warm-started from {flags.pretrain_dir}")
     state = common.maybe_resume(flags, ckpt, state, logger)
 
     max_anchors = flags.batch * flags.max_anchors_per_image

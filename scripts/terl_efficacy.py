@@ -66,6 +66,13 @@ def parse_args():
                    help="vocab inclusion weight of each rare class "
                         "(common classes weigh 1.0)")
     p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--pretrain_epochs", type=int, default=0,
+                   help="> 0: first train a cls-only model this long, "
+                        "then warm-start BOTH arms from its checkpoint — "
+                        "the "
+                        "reference's pretrained-backbone regime (runT.sh "
+                        "loads ImageNet Swin), which is where the "
+                        "contrastive terms are designed to operate")
     p.add_argument("--w_epoch", type=int, default=2)
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--lr", type=float, default=1e-5,
@@ -127,19 +134,23 @@ def main():
           f"rare {[int(counts[c]) for c in RARE]}")
     t0 = time.time()
 
-    def run(tag, seed, w):
-        terl_learnt.main(
-            ["-t", "-e", "-d", "--backbone", "swin_nano_64", "--img_size",
-             str(a.size), "--moco_k", "256", "--kcl_k", "3", "--mlp",
-             "--max_anchors_per_image", "2",
-             "--epochs", str(a.epochs), "--w_epoch", str(a.w_epoch),
-             "--w_con", str(w), "--w_proto", str(w), "--w_tail", str(w),
-             "--data_dir", root, "-k", "1",
-             "--ckpt_root", os.path.join(root, "ckpt"),
-             "--version", f"{tag}{seed}", "-b", str(a.batch),
-             "--seed", str(seed), "-l", str(a.lr), str(a.lr), str(a.lr),
-             "-w", "1", "1", "1", "--val_interval", "2",
-             "--augmentation_list", "brightness", "contrast", "jitter"])
+    def run(tag, seed, w, epochs=None, pretrain_dir=None):
+        argv = [
+            "-t", "-e", "-d", "--backbone", "swin_nano_64", "--img_size",
+            str(a.size), "--moco_k", "256", "--kcl_k", "3", "--mlp",
+            "--max_anchors_per_image", "2",
+            "--epochs", str(epochs or a.epochs),
+            "--w_epoch", str(a.w_epoch),
+            "--w_con", str(w), "--w_proto", str(w), "--w_tail", str(w),
+            "--data_dir", root, "-k", "1",
+            "--ckpt_root", os.path.join(root, "ckpt"),
+            "--version", f"{tag}{seed}", "-b", str(a.batch),
+            "--seed", str(seed), "-l", str(a.lr), str(a.lr), str(a.lr),
+            "-w", "1", "1", "1", "--val_interval", "2",
+            "--augmentation_list", "brightness", "contrast", "jitter"]
+        if pretrain_dir:
+            argv += ["--pretrain_dir", pretrain_dir]
+        terl_learnt.main(argv)
         ap = rare_test_ap(root, split, tag, seed)
         print(f"[terl {tag} seed={seed}] rare-class test AP {ap:.4f} "
               f"({time.time() - t0:.0f}s)")
@@ -147,11 +158,17 @@ def main():
 
     deltas, rows = [], []
     for seed in a.seeds:
-        base = run("bce", seed, 0)
-        full = run("full", seed, 1)
+        pre_dir = None
+        row = {"seed": seed}
+        if a.pretrain_epochs > 0:
+            row["pre_rare_ap"] = run("pre", seed, 0,
+                                     epochs=a.pretrain_epochs)
+            pre_dir = os.path.join(root, "ckpt", f"run_pre{seed}")
+        base = run("bce", seed, 0, pretrain_dir=pre_dir)
+        full = run("full", seed, 1, pretrain_dir=pre_dir)
         deltas.append(full - base)
-        rows.append({"seed": seed, "bce_rare_ap": base,
-                     "full_rare_ap": full})
+        row.update(bce_rare_ap=base, full_rare_ap=full)
+        rows.append(row)
 
     summary = {
         "runs": rows,
