@@ -32,28 +32,48 @@ def fused_scale_bias_act_reference(x, scale, bias, negative_slope=0.01):
 
 
 def _fsba_kernel(x_ref, s_ref, b_ref, o_ref, *, slope: float):
-    y = x_ref[...] * s_ref[...] + b_ref[...]
-    o_ref[...] = jnp.where(y >= 0, y, y * slope)
+    # compute in f32: Mosaic on v5e rejects bf16 vector comparisons
+    # ("Target does not support this comparison" at arith.cmpf bf16) and
+    # the affine is more accurate in f32 anyway; the store casts back
+    y = (x_ref[...].astype(jnp.float32) * s_ref[...].astype(jnp.float32)
+         + b_ref[...].astype(jnp.float32))
+    o_ref[...] = jnp.where(y >= 0, y, y * slope).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("negative_slope",))
 def fused_scale_bias_act(x, scale, bias, negative_slope: float = 0.01):
-    """leaky_relu(x * scale + bias) over (..., C), one VMEM pass."""
+    """leaky_relu(x * scale + bias) over (..., C), row-blocked VMEM passes.
+
+    Row blocking matters: a gridless kernel maps the WHOLE tensor into
+    VMEM — at TResNet's stem size (b=32: 100352x64) that is 48.8 MiB and
+    Mosaic rejects it against the 16 MiB scoped-vmem limit (caught by the
+    first real-chip run, scripts/zoo_bench.py)."""
     shape = x.shape
     c = shape[-1]
     x2 = x.reshape(-1, c)
+    n = x2.shape[0]
+    block = min(n, max(8, (512 * 1024) // max(c, 1)))  # ~512k elems/step
+    block = max(8, (block // 8) * 8)  # sublane-aligned
+    np_ = ((n + block - 1) // block) * block
+    if np_ != n:
+        x2 = jnp.pad(x2, ((0, np_ - n), (0, 0)))
     out = pl.pallas_call(
         functools.partial(_fsba_kernel, slope=negative_slope),
-        out_shape=jax.ShapeDtypeStruct(x2.shape, x.dtype),
+        out_shape=jax.ShapeDtypeStruct((np_, c), x.dtype),
+        grid=(np_ // block,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((block, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
         interpret=jax.default_backend() != "tpu",
     )(x2, scale[None].astype(x.dtype), bias[None].astype(x.dtype))
-    return out.reshape(shape)
+    return out[:n].reshape(shape)
 
 
 def space_to_depth(x: jnp.ndarray, block: int = 4) -> jnp.ndarray:
