@@ -158,7 +158,14 @@ class StreamingSession:
                network: str = "resnet18", variables: Optional[dict] = None,
                num_layers_pg: int = 11, num_layers_r: int = 10,
                num_refinements: int = 3, num_f_maps: int = 512,
-               dtype=jnp.bfloat16) -> "StreamingSession":
+               dtype=jnp.bfloat16, quantize: bool = False,
+               calibrate_frames=None) -> "StreamingSession":
+        """``quantize=True`` runs the backbone int8 per frame (calibrated
+        static scales from ``calibrate_frames`` — NORMALIZED (N,H,W,3);
+        a standard-normal batch stands in when absent). Accuracy-guarded
+        like the batch path (mAP moves <= 0.008 on a trained student,
+        scripts/int8_accuracy_check.py)."""
+        from .models.quantized import calibrate_resnet, quantize_resnet
         from .models.resnet import VARIANTS as RESNET_VARIANTS, ResNet
         from .models.resnet import feature_dim
         from .models.tcn import TemporalTCN
@@ -173,6 +180,15 @@ class StreamingSession:
                 jnp.zeros((1, 4, height, width, 3), dtype))
         sizes, block = RESNET_VARIANTS[network]
         backbone = ResNet(stage_sizes=sizes, block_cls=block, dtype=dtype)
+        qp = None
+        if quantize:
+            if calibrate_frames is None:
+                calibrate_frames = jax.random.normal(
+                    jax.random.PRNGKey(7), (4, height, width, 3), dtype)
+            qp = quantize_resnet(variables["params"]["backbone"],
+                                 variables["batch_stats"]["backbone"])
+            qp = calibrate_resnet(qp, jnp.asarray(calibrate_frames, dtype),
+                                  sizes, dtype=dtype)
         tcn = TemporalTCN(num_layers_pg=num_layers_pg,
                           num_layers_r=num_layers_r,
                           num_refinements=num_refinements,
@@ -181,14 +197,28 @@ class StreamingSession:
         mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
         std = jnp.asarray(IMAGENET_STD, jnp.float32)
 
+        if qp is not None:
+            from .models.quantized import quantized_resnet_apply
+            from .models.resnet import BasicBlock
+
+            blk = "basic" if RESNET_VARIANTS[network][1] is BasicBlock \
+                else "bottleneck"
+            variables = dict(variables, q_backbone=qp)
+
         def step(variables, buffer, frame, normalize):
             x = frame.astype(jnp.float32)
             if normalize:
                 x = (x / 255.0 - mean) / std
-            bvars = {"params": variables["params"]["backbone"]}
-            if "batch_stats" in variables:
-                bvars["batch_stats"] = variables["batch_stats"]["backbone"]
-            feat = backbone.apply(bvars, x.astype(dtype))["pooled"]
+            if "q_backbone" in variables:  # static: dict structure
+                feat = quantized_resnet_apply(
+                    variables["q_backbone"], x.astype(dtype), sizes,
+                    block=blk, dtype=dtype)["pooled"]
+            else:
+                bvars = {"params": variables["params"]["backbone"]}
+                if "batch_stats" in variables:
+                    bvars["batch_stats"] = \
+                        variables["batch_stats"]["backbone"]
+                feat = backbone.apply(bvars, x.astype(dtype))["pooled"]
             buffer = jnp.concatenate([buffer[:, 1:], feat[:, None]], axis=1)
             out = tcn.apply({"params": variables["params"]["tcn"]}, buffer)
             probs = {k: jax.nn.sigmoid(out[k][0][:, -1].astype(jnp.float32))

@@ -87,3 +87,21 @@ def test_streaming_matches_offline_causal(rng):
     assert sess.frames_seen == ctx
     sess.reset()
     assert sess.frames_seen == 0
+
+
+def test_streaming_quantized(rng):
+    """StreamingSession(quantize=True): int8 backbone per frame, valid
+    finite probabilities."""
+    import numpy as np
+
+    from computervision_codes_tpu.serving import StreamingSession
+
+    sess = StreamingSession.create(
+        context=8, height=32, width=56, quantize=True,
+        num_layers_pg=2, num_layers_r=2, num_refinements=1, num_f_maps=8)
+    assert "act_scale" in sess.variables["q_backbone"]["conv1"]
+    for _ in range(3):
+        probs = sess.push((rng.random((32, 56, 3)) * 255).astype(np.uint8))
+    assert probs["ivt"].shape == (100,)
+    for v in probs.values():
+        assert np.isfinite(v).all() and (0 <= v).all() and (v <= 1).all()
