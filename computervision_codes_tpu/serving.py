@@ -131,26 +131,33 @@ class InferenceSession:
 
 @dataclass
 class StreamingSession:
-    """Online per-frame inference: push one frame, get current probabilities.
+    """Online per-frame inference: push one frame (per stream), get the
+    current probabilities.
 
     Live surgical video needs per-frame LATENCY, not batch throughput — a
     mode the reference has no story for (its eval scripts are offline-only).
     The session keeps a device-resident ring buffer of the last ``context``
     backbone features; each ``push`` runs ONE compiled program: backbone on
-    the new frame, shift-append into the buffer, causal TCN over the
+    the new frame(s), shift-append into the buffer, causal TCN over the
     buffer, last-position probabilities out. Because every temporal layer
     is causal (front-padded; EndToEndRecognizer(causal=True)), the stream
     output at step t is EXACTLY the offline output at position t once t
     reaches the TCN's receptive field (unit-tested equivalence,
     tests/test_serving.py).
+
+    ``streams`` > 1 serves that many INDEPENDENT videos in lockstep (one
+    operating room per stream): each push takes (S, H, W, 3) — one new
+    frame per stream — and batches the backbone/TCN over S, which uses
+    the MXU far better than batch-1; streams never mix (pure batching).
     """
 
     compiled: object
     variables: dict
-    buffer: object  # (1, context, D) device array, rolls left
+    buffer: object  # (streams, context, D) device array, rolls left
     context: int
     height: int
     width: int
+    streams: int = 1
     frames_seen: int = 0
 
     @classmethod
@@ -159,7 +166,8 @@ class StreamingSession:
                num_layers_pg: int = 11, num_layers_r: int = 10,
                num_refinements: int = 3, num_f_maps: int = 512,
                dtype=jnp.bfloat16, quantize: bool = False,
-               calibrate_frames=None) -> "StreamingSession":
+               calibrate_frames=None, streams: int = 1
+               ) -> "StreamingSession":
         """``quantize=True`` runs the backbone int8 per frame (calibrated
         static scales from ``calibrate_frames`` — NORMALIZED (N,H,W,3);
         a standard-normal batch stands in when absent). Accuracy-guarded
@@ -228,32 +236,45 @@ class StreamingSession:
         var_shapes = jax.tree.map(
             lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), variables)
         dim = feature_dim(network)
-        buf_shape = jax.ShapeDtypeStruct((1, context, dim), dtype)
+        buf_shape = jax.ShapeDtypeStruct((streams, context, dim), dtype)
         jitted = jax.jit(step, static_argnums=(3,), donate_argnums=(1,))
         compiled = {}
         for in_dtype, normalize in ((jnp.uint8, True), (dtype, False)):
-            fshape = jax.ShapeDtypeStruct((1, height, width, 3), in_dtype)
+            fshape = jax.ShapeDtypeStruct((streams, height, width, 3),
+                                          in_dtype)
             compiled[normalize] = jitted.lower(
                 var_shapes, buf_shape, fshape, normalize).compile()
-        buffer = jnp.zeros((1, context, dim), dtype)
+        buffer = jnp.zeros((streams, context, dim), dtype)
         return cls(compiled=compiled, variables=variables, buffer=buffer,
-                   context=context, height=height, width=width)
+                   context=context, height=height, width=width,
+                   streams=streams)
 
     def push(self, frame) -> Dict[str, np.ndarray]:
-        """One frame (H, W, 3) or (1, H, W, 3), uint8 or normalized float ->
-        probabilities for the CURRENT frame."""
+        """One frame per stream — (H, W, 3) for a single-stream session or
+        (S, H, W, 3) — uint8 or normalized float -> per-stream
+        probabilities for the CURRENT frame, shape (S, C) (leading dim
+        squeezed when S == 1)."""
         arr = np.asarray(frame)
         if arr.ndim == 3:
             arr = arr[None]
+        if arr.shape[0] != self.streams:
+            raise ValueError(
+                f"session serves {self.streams} streams, got {arr.shape[0]}")
         normalize = arr.dtype == np.uint8
         frame = jnp.asarray(
             arr, jnp.uint8 if normalize else self.buffer.dtype)
         self.buffer, probs = self.compiled[normalize](
             self.variables, self.buffer, frame)
         self.frames_seen += 1
-        return {k: np.asarray(v)[0] for k, v in probs.items()}
+        squeeze = self.streams == 1
+        return {k: np.asarray(v)[0] if squeeze else np.asarray(v)
+                for k, v in probs.items()}
 
-    def reset(self) -> None:
-        """Start a new video: zero the feature ring buffer."""
-        self.buffer = jnp.zeros_like(self.buffer)
-        self.frames_seen = 0
+    def reset(self, stream: Optional[int] = None) -> None:
+        """Start a new video: zero the feature ring buffer (one stream, or
+        all when ``stream`` is None)."""
+        if stream is None:
+            self.buffer = jnp.zeros_like(self.buffer)
+            self.frames_seen = 0
+        else:
+            self.buffer = self.buffer.at[stream].set(0.0)

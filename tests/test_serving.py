@@ -105,3 +105,41 @@ def test_streaming_quantized(rng):
     assert probs["ivt"].shape == (100,)
     for v in probs.values():
         assert np.isfinite(v).all() and (0 <= v).all() and (v <= 1).all()
+
+
+def test_multi_stream_independence(rng):
+    """streams=S batches independent videos: each stream's output equals a
+    single-stream session fed the same frames (no cross-stream mixing)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from computervision_codes_tpu.models.pipeline import EndToEndRecognizer
+    from computervision_codes_tpu.serving import StreamingSession
+
+    kw = dict(num_layers_pg=2, num_layers_r=2, num_refinements=1,
+              num_f_maps=8)
+    h, w, ctx, steps = 32, 56, 8, 4
+    model = EndToEndRecognizer(causal=True, dtype=jnp.float32, **kw)
+    variables = model.init(jax.random.PRNGKey(5),
+                           jnp.zeros((1, 4, h, w, 3), jnp.float32))
+    frames = rng.standard_normal((steps, 2, h, w, 3)).astype(np.float32)
+
+    multi = StreamingSession.create(context=ctx, height=h, width=w,
+                                    variables=variables, streams=2,
+                                    dtype=jnp.float32, **kw)
+    singles = [StreamingSession.create(context=ctx, height=h, width=w,
+                                       variables=variables,
+                                       dtype=jnp.float32, **kw)
+               for _ in range(2)]
+    for t in range(steps):
+        pm = multi.push(frames[t])
+        ps = [singles[s].push(frames[t, s]) for s in range(2)]
+        assert pm["ivt"].shape == (2, 100)
+        for s in range(2):
+            np.testing.assert_allclose(pm["ivt"][s], ps[s]["ivt"],
+                                       atol=1e-5)
+    # per-stream reset only clears that stream
+    multi.reset(stream=0)
+    assert float(jnp.abs(multi.buffer[0]).max()) == 0.0
+    assert float(jnp.abs(multi.buffer[1]).max()) > 0.0
