@@ -109,6 +109,36 @@ def main():
         "fps_equivalent": round(1000.0 / dev_ms, 1),
     }))
 
+    # 4) multi-stream scaling: S independent ORs batched per push
+    for s_count in (4, 8, 16):
+        frames_s = jnp.asarray(
+            rng.standard_normal((20, s_count, 256, 448, 3)), jnp.bfloat16)
+        buf_s = jnp.zeros((s_count, 256, 512), jnp.bfloat16)
+
+        @jax.jit
+        def chained_s(variables, buf, frames):
+            def step(buf, frame):
+                bvars = {"params": variables["params"]["backbone"],
+                         "batch_stats":
+                             variables["batch_stats"]["backbone"]}
+                feat = backbone.apply(bvars, frame)["pooled"]
+                buf = jnp.concatenate([buf[:, 1:], feat[:, None]], axis=1)
+                out = tcn.apply({"params": variables["params"]["tcn"]}, buf)
+                return buf, out["ivt"][0][:, -1].astype(jnp.float32).mean()
+
+            buf, sums = jax.lax.scan(step, buf, frames)
+            return jnp.sum(sums)
+
+        float(chained_s(variables, buf_s, frames_s))
+        t0 = time.perf_counter()
+        float(chained_s(variables, buf_s, frames_s))
+        ms = (time.perf_counter() - t0) / 20 * 1e3
+        print(json.dumps({
+            "metric": f"multi-stream push (streams={s_count})",
+            "per_push_ms": round(ms, 2),
+            "aggregate_fps": round(s_count / ms * 1e3, 1),
+        }))
+
 
 if __name__ == "__main__":
     main()
