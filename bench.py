@@ -84,6 +84,11 @@ def main():
         "value": round(fps, 1),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / A100_REFERENCE_FPS_ESTIMATE, 3),
+        # precision-matched comparison at top level alongside the
+        # deployed-config one (ADVICE r2): the anchor is fp16/fp32 torch,
+        # bf16 is the like-for-like ratio, int8-PTQ the serving config
+        "vs_baseline_bf16": round(fps_bf16 / A100_REFERENCE_FPS_ESTIMATE, 3),
+        "vs_baseline_int8": round(fps / A100_REFERENCE_FPS_ESTIMATE, 3),
         "detail": {
             "batch": batch, "clip_len": clip_len, "iters": iters,
             "elapsed_s": round(elapsed, 3), "checksum": round(checksum, 4),

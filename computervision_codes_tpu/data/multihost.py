@@ -44,6 +44,15 @@ def shard_videos(videos: Sequence[str], process_index: int,
     if frame_counts is None:
         return [v for i, v in enumerate(videos)
                 if i % process_count == process_index]
+    missing = [v for v in videos if v not in frame_counts]
+    if missing:
+        # a partial metadata cache would otherwise KeyError globally; the
+        # assignment must stay identical on every host, so fail loudly
+        # rather than guess per-host
+        raise ValueError(
+            f"frame_counts missing {len(missing)} video(s): "
+            f"{missing[:5]}{'...' if len(missing) > 5 else ''} — pass "
+            f"complete counts or frame_counts=None for round-robin")
     order = sorted(videos, key=lambda v: (-frame_counts[v], v))
     loads = [0] * process_count
     mine: List[str] = []

@@ -139,7 +139,37 @@ def test_multi_stream_independence(rng):
         for s in range(2):
             np.testing.assert_allclose(pm["ivt"][s], ps[s]["ivt"],
                                        atol=1e-5)
-    # per-stream reset only clears that stream
+    # per-stream reset only clears that stream — buffer AND frame counter
     multi.reset(stream=0)
     assert float(jnp.abs(multi.buffer[0]).max()) == 0.0
     assert float(jnp.abs(multi.buffer[1]).max()) > 0.0
+    assert list(multi.frames_seen_per_stream) == [0, steps]
+
+
+def test_receptive_field_and_context_warning():
+    """create() computes the causal receptive field from the layer config
+    and warns when the ring-buffer context cannot cover it (ADVICE r2:
+    the default 11+3x10 TCN reaches 10,233 frames — far past context=256 —
+    so 'exact' claims must be qualified)."""
+    import warnings
+
+    import jax.numpy as jnp
+
+    from computervision_codes_tpu.serving import (StreamingSession,
+                                                  tcn_receptive_field)
+
+    assert tcn_receptive_field(11, 10, 3) == 10233
+    assert tcn_receptive_field(3, 2, 2) == 27  # test-size config
+    kw = dict(num_layers_pg=2, num_layers_r=2, num_refinements=1,
+              num_f_maps=8)  # rf = 1 + 6 + 6 = 13
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        sess = StreamingSession.create(context=8, height=32, width=56,
+                                       dtype=jnp.float32, **kw)
+    assert any("receptive field" in str(w.message) for w in caught)
+    assert sess.receptive_field == 13
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        StreamingSession.create(context=16, height=32, width=56,
+                                dtype=jnp.float32, **kw)
+    assert not any("receptive field" in str(w.message) for w in caught)
