@@ -79,6 +79,12 @@ def parse_flags(argv: Optional[Sequence[str]] = None):
     p.add_argument("--kcl_k", type=int, default=7)
     p.add_argument("--train_div", type=float, default=1.0)
     p.add_argument("--max_anchors_per_image", type=int, default=4)
+    p.add_argument("--cam_dump", type=str, default="",
+                   help="directory: restore the checkpoint and write "
+                        "per-task CAM overlay PNGs for test-split frames "
+                        "(reference cam.py:200-278 checkpoint->overlay tool)")
+    p.add_argument("--cam_frames", type=int, default=8,
+                   help="max frames to render with --cam_dump")
     flags, _ = p.parse_known_args(argv)
     return flags
 
@@ -259,6 +265,64 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
         ppath = store.save(flags.kfold, "pred", preds_out)
         logger.log(f"Dumped {fpath} and {ppath}")
         result["dump_paths"] = (fpath, ppath)
+
+    if flags.cam_dump:
+        # checkpoint -> CAM overlay images, end-to-end (reference
+        # cam.py:200-278 draw_CAM: JET heatmap of the class's activation
+        # map blended over the frame; classes = ground-truth positives,
+        # falling back to the top-1 prediction when a frame has none)
+        import os
+
+        from ..utils.cam import denormalize_frame, draw_cam
+
+        if ckpt.exists():
+            state = ckpt.restore(state)
+        os.makedirs(flags.cam_dump, exist_ok=True)
+
+        @jax.jit
+        def cam_step(state, images):
+            enc_out = state.apply_fn({"params": state.params}, images,
+                                     train=False, ht_masks=ht_masks,
+                                     method=type(model).encode)
+            probs = {k: jax.nn.sigmoid(v)
+                     for k, v in enc_out["logits"].items()}
+            return enc_out["cams"], probs
+
+        paths, remaining = [], flags.cam_frames
+        from ..data.pipeline import video_eval_batches
+
+        for video in split.test:
+            if remaining <= 0:
+                break
+            row = 0  # absolute frame index within the video
+            for b in video_eval_batches(dataset, video, flags.batch):
+                cams, probs = cam_step(state, jnp.asarray(b["image"]))
+                cams = {k: np.asarray(v, np.float32)
+                        for k, v in cams.items()}
+                n_valid = int(b["valid"].sum())
+                for i in range(n_valid):
+                    if remaining <= 0:
+                        break
+                    base = denormalize_frame(b["image"][i])
+                    for task in ("ivt", "i", "v", "t"):
+                        lab = b["label_ivt"][i, class_map] \
+                            if task == "ivt" else b[f"label_{task}"][i]
+                        cls = np.flatnonzero(lab > 0.5)
+                        if cls.size == 0:  # reference cam.py:263-266
+                            cls = [int(np.argmax(
+                                np.asarray(probs[task][i])))]
+                        for c in cls[:3]:
+                            p = os.path.join(
+                                flags.cam_dump,
+                                f"{video}_{row + i:06d}_{task}{int(c)}.png")
+                            paths.append(draw_cam(
+                                base, cams[task][i, :, :, int(c)], p))
+                    remaining -= 1
+                row += n_valid
+                if remaining <= 0:
+                    break
+        logger.log(f"CAM dump: {len(paths)} overlays in {flags.cam_dump}")
+        result["cam_paths"] = paths
 
     logger.close()
     return result

@@ -45,3 +45,17 @@ def draw_cam(image: np.ndarray, cam: np.ndarray, path: str,
     out = render_cam_overlay(image, cam, alpha)
     cv2.imwrite(path, cv2.cvtColor(out, cv2.COLOR_RGB2BGR))
     return path
+
+
+def denormalize_frame(image: np.ndarray) -> np.ndarray:
+    """ImageNet-normalized (H, W, 3) float -> displayable uint8 RGB.
+
+    The eval pipeline hands the model normalized frames; the reference tool
+    re-reads the PNG from disk for the overlay base (cam.py:272) — inverting
+    the normalization gives the same image without a second decode."""
+    from ..data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+    mean = np.asarray(IMAGENET_MEAN, np.float32)
+    std = np.asarray(IMAGENET_STD, np.float32)
+    img = (np.asarray(image, np.float32) * std + mean) * 255.0
+    return np.clip(img, 0, 255).astype(np.uint8)

@@ -67,6 +67,31 @@ def test_crossval_orchestrator_aggregates(tiny_root, tmp_path):
     assert 0.0 <= res["mean"]["ivt"] <= 1.0
 
 
+def test_terl_cam_dump_writes_overlays(tiny_root, tmp_path):
+    """--cam_dump: checkpoint -> per-task CAM overlay PNGs, end-to-end
+    through the TERL driver (reference TERL/6_baseline_learnT/cam.py:200-278
+    is a runnable checkpoint->overlay tool; this is its driver entry)."""
+    import os
+
+    from computervision_codes_tpu.cli import terl_learnt
+
+    cam_dir = str(tmp_path / "cams")
+    res = terl_learnt.main([
+        "--data_dir", tiny_root, "-k", "1", "--backbone", "swin_nano_64",
+        "--img_size", "64", "--mlp", "--moco_k", "8", "-b", "4",
+        "--version", "camsmoke", "--ckpt_root", str(tmp_path / "ckpt"),
+        "--cam_dump", cam_dir, "--cam_frames", "2",
+    ])
+    paths = res["cam_paths"]
+    # 2 frames x 4 tasks x >=1 class each
+    assert len(paths) >= 8
+    for p in paths:
+        assert os.path.exists(p) and os.path.getsize(p) > 0
+    names = [os.path.basename(p) for p in paths]
+    assert any("_ivt" in n for n in names)
+    assert any("_i" in n and "_ivt" not in n for n in names)
+
+
 def test_prefetch_to_device(rng):
     from computervision_codes_tpu.data.prefetch import prefetch_to_device
 
