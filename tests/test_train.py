@@ -229,6 +229,43 @@ def test_checkpoint_orbax_backend(tmp_path, tiny_spatial):
     assert int(restored.step) == int(state.step)
 
 
+def test_checkpoint_orbax_sharded_roundtrip(tmp_path, tiny_spatial, rng):
+    """Orbax save/restore of a TrainState laid out over the 8-device mesh
+    (params replicated, as in DP training): bitwise round-trip, restored
+    state usable in the sharded train step, best-score sidecar intact
+    (SURVEY §5 checkpoint subsystem under multi-chip)."""
+    from computervision_codes_tpu.parallel.mesh import (make_mesh, replicate,
+                                                        shard_batch)
+
+    model, state = tiny_spatial
+    mesh = make_mesh(n_data=8)
+    state_r = replicate(state, mesh)
+    mgr = CheckpointManager(str(tmp_path), "m_sharded", backend="orbax")
+    assert mgr.update(state_r, 0.5, epoch=0) == "increased"
+
+    template = replicate(
+        jax.tree.map(lambda x: jnp.zeros_like(x) if hasattr(x, "shape")
+                     else x, state), mesh)
+    restored = mgr.restore(template)
+    for a, b in zip(jax.tree.leaves(state_r.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(restored.step) == int(state_r.step)
+
+    # the restored state must drive the sharded step (shardings usable)
+    restored = replicate(
+        jax.tree.map(lambda x: jnp.array(x, copy=True)
+                     if hasattr(x, "shape") else x, restored), mesh)
+    step = make_spatial_train_step(model, loss_type="ivt")
+    batch = shard_batch(_spatial_batch(rng, b=8), mesh)
+    _, m = step(restored, batch)
+    assert np.isfinite(float(m["loss"]))
+
+    # sidecar survives a fresh manager
+    mgr2 = CheckpointManager(str(tmp_path), "m_sharded", backend="orbax")
+    assert mgr2.best_score == 0.5
+
+
 def test_q2l_resnet_backbone_trains_through_driver_state(rng):
     """Regression: Q2L ResNet backbones keep FrozenBatchNorm constants in a
     'frozen' collection that create_train_state used to drop, crashing the
