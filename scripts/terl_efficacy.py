@@ -84,7 +84,34 @@ def parse_args():
     p.add_argument("--assert_gain", action="store_true",
                    help="additionally require delta(rare AP) > 0 (see "
                         "module docstring for why this is NOT the default)")
+    p.add_argument("--ablate_scales", action="store_true",
+                   help="per seed, also run loss-SCALE ablation arms: "
+                        "'norm' divides the x1000-scaled ASL proto/tail "
+                        "terms back to unit scale (w_proto=w_tail=0.001, "
+                        "reference aslloss.py:114 carries the x1000 "
+                        "inside the loss) and 'con' keeps only the KCL "
+                        "contrastive term — isolating WHICH term moves "
+                        "rare AP")
+    p.add_argument("--out", type=str, default="",
+                   help="append the JSON summary line to this file")
     return p.parse_args()
+
+
+def mean_ci(xs, conf=0.95):
+    """Mean and half-width of the t-distribution CI over seeds."""
+    xs = np.asarray(xs, np.float64)
+    n = len(xs)
+    m = float(xs.mean())
+    if n < 2:
+        return m, float("nan")
+    se = float(xs.std(ddof=1)) / np.sqrt(n)
+    try:
+        from scipy import stats
+
+        crit = float(stats.t.ppf(0.5 + conf / 2, n - 1))
+    except ImportError:  # normal approximation
+        crit = 1.96
+    return m, crit * se
 
 
 def rare_test_ap(root, split, tag, seed):
@@ -134,14 +161,18 @@ def main():
           f"rare {[int(counts[c]) for c in RARE]}")
     t0 = time.time()
 
-    def run(tag, seed, w, epochs=None, pretrain_dir=None):
+    def run(tag, seed, w_con, w_proto=None, w_tail=None, epochs=None,
+            pretrain_dir=None):
+        w_proto = w_con if w_proto is None else w_proto
+        w_tail = w_con if w_tail is None else w_tail
         argv = [
             "-t", "-e", "-d", "--backbone", "swin_nano_64", "--img_size",
             str(a.size), "--moco_k", "256", "--kcl_k", "3", "--mlp",
             "--max_anchors_per_image", "2",
             "--epochs", str(epochs or a.epochs),
             "--w_epoch", str(a.w_epoch),
-            "--w_con", str(w), "--w_proto", str(w), "--w_tail", str(w),
+            "--w_con", str(w_con), "--w_proto", str(w_proto),
+            "--w_tail", str(w_tail),
             "--data_dir", root, "-k", "1",
             "--ckpt_root", os.path.join(root, "ckpt"),
             "--version", f"{tag}{seed}", "-b", str(a.batch),
@@ -153,10 +184,19 @@ def main():
         terl_learnt.main(argv)
         ap = rare_test_ap(root, split, tag, seed)
         print(f"[terl {tag} seed={seed}] rare-class test AP {ap:.4f} "
-              f"({time.time() - t0:.0f}s)")
+              f"({time.time() - t0:.0f}s)", flush=True)
         return ap
 
-    deltas, rows = [], []
+    # arm -> (w_con, w_proto, w_tail); 'norm' undoes the reference's x1000
+    # ASL scale on the proto/tail terms (it lives INSIDE the loss,
+    # losses/asl.py:58 = reference aslloss.py:114), 'con' isolates KCL
+    arms = {"full": (1.0, 1.0, 1.0)}
+    if a.ablate_scales:
+        arms["norm"] = (1.0, 0.001, 0.001)
+        arms["con"] = (1.0, 0.0, 0.0)
+
+    deltas = {arm: [] for arm in arms}
+    rows = []
     for seed in a.seeds:
         pre_dir = None
         row = {"seed": seed}
@@ -165,17 +205,35 @@ def main():
                                      epochs=a.pretrain_epochs)
             pre_dir = os.path.join(root, "ckpt", f"run_pre{seed}")
         base = run("bce", seed, 0, pretrain_dir=pre_dir)
-        full = run("full", seed, 1, pretrain_dir=pre_dir)
-        deltas.append(full - base)
-        row.update(bce_rare_ap=base, full_rare_ap=full)
+        row["bce_rare_ap"] = base
+        for arm, (wc, wp, wt) in arms.items():
+            ap = run(arm, seed, wc, wp, wt, pretrain_dir=pre_dir)
+            row[f"{arm}_rare_ap"] = ap
+            deltas[arm].append(ap - base)
         rows.append(row)
+        part = {arm: mean_ci(d) for arm, d in deltas.items()}
+        print(f"[terl_efficacy] after seed {seed}: " + json.dumps(
+            {arm: {"mean": round(m, 4), "ci95": round(c, 4)}
+             for arm, (m, c) in part.items()}), flush=True)
 
     summary = {
         "runs": rows,
-        "delta_rare_ap_mean": sum(deltas) / len(deltas),
+        "delta_rare_ap_mean": sum(deltas["full"]) / len(deltas["full"]),
+        "arms": {},
+        "n_seeds": len(a.seeds),
         "minutes": round((time.time() - t0) / 60, 1),
     }
+    for arm, d in deltas.items():
+        m, c = mean_ci(d)
+        summary["arms"][arm] = {
+            "delta_rare_ap_mean": round(m, 5),
+            "ci95_half_width": round(c, 5) if np.isfinite(c) else None,
+            "deltas": [round(x, 5) for x in d],
+        }
     print("[terl_efficacy] " + json.dumps(summary))
+    if a.out:
+        with open(a.out, "a") as f:
+            print(json.dumps(summary), file=f)
     if not a.skip_assert:
         for r in rows:  # stability contract: valid finite APs from dumps
             assert np.isfinite(r["bce_rare_ap"]), r
