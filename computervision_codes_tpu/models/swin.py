@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import Dict, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -145,12 +146,64 @@ class SwinBlock(nn.Module):
     dropout: float = 0.0
     use_fused_attn: bool = False
     fused_block: int = 8
+    # fused_eval: None = auto (fused Pallas half-block kernels on the TPU
+    # eval path — measured 1.3-2.5x per stage, scripts/swin_fused_bench.py);
+    # True forces them (CPU interpret, for parity tests); False disables.
+    # Init and training always take the XLA path, so the param tree and
+    # gradients are identical either way.
+    fused_eval: Optional[bool] = None
     dtype: jnp.dtype = jnp.float32
+
+    def _fused_forward(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Eval forward through ops/window_mhsa + ops/mlp_block, reading
+        the SAME param tree the XLA path creates."""
+        from ..ops.mlp_block import mlp_block_fused
+        from ..ops.window_mhsa import window_mhsa_fused
+
+        p = self.variables["params"]
+        b, hgt, wid, c = x.shape
+        w = self.window
+        n = w * w
+        h = self.num_heads
+        shift = self.shift if min(hgt, wid) > w else 0
+
+        table = p["attn"]["relative_position_bias_table"]
+        idx = _relative_position_index(w).reshape(-1)
+        bias = table[idx].reshape(n, n, h).transpose(2, 0, 1).astype(
+            self.dtype)
+        if shift:
+            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+            mask = jnp.asarray(_shift_attn_mask(hgt, wid, w, shift))
+        else:
+            mask = None
+        x = window_mhsa_fused(
+            x, p["norm1"]["scale"], p["norm1"]["bias"],
+            p["attn"]["qkv"]["kernel"].astype(self.dtype),
+            p["attn"]["qkv"]["bias"].astype(self.dtype),
+            p["attn"]["proj"]["kernel"].astype(self.dtype),
+            p["attn"]["proj"]["bias"].astype(self.dtype),
+            bias, mask, window=w, num_heads=h)
+        if shift:
+            x = jnp.roll(x, (shift, shift), axis=(1, 2))
+        mp = p["mlp"]
+        return mlp_block_fused(
+            x, p["norm2"]["scale"], p["norm2"]["bias"],
+            mp["Dense_0"]["kernel"].astype(self.dtype),
+            mp["Dense_0"]["bias"].astype(self.dtype),
+            mp["Dense_1"]["kernel"].astype(self.dtype),
+            mp["Dense_1"]["bias"].astype(self.dtype))
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         b, hgt, wid, c = x.shape
         w = self.window
+        fused_ok = (deterministic and not self.is_initializing()
+                    and hgt % w == 0 and wid % w == 0
+                    and self.dim <= 768 and not self.use_fused_attn)
+        use_fused = (self.fused_eval if self.fused_eval is not None
+                     else jax.default_backend() == "tpu")
+        if fused_ok and use_fused:
+            return self._fused_forward(x)
         shortcut = x
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         # pad to window multiples (reference pads inside the block)
@@ -215,6 +268,7 @@ class SwinTransformer(nn.Module):
     patch_norm: bool = True
     use_fused_attn: bool = False  # multi-window Pallas attention kernel
     fused_block: int = 8  # windows per fused-kernel grid step
+    fused_eval: Optional[bool] = None  # fused half-block kernels (SwinBlock)
     num_classes: int = 0  # 0 = headless (Q2L strips the head)
     remat: bool = False  # rematerialize blocks (jax.checkpoint) — trades
     # FLOPs for HBM so SwinL-384 trains on one chip at useful batch sizes
@@ -245,6 +299,7 @@ class SwinTransformer(nn.Module):
                               drop_path=float(dpr[bi]), dropout=self.dropout,
                               use_fused_attn=self.use_fused_attn,
                               fused_block=self.fused_block,
+                              fused_eval=self.fused_eval,
                               dtype=self.dtype,
                               name=f"stage{si}_block{d}")(x, det)
                 bi += 1

@@ -1,0 +1,193 @@
+"""Fully-fused window MHSA half-block: x + proj(window_attn(LN(x))).
+
+Why (measured, scripts/swin_roofline.py + swin_attn_probe.py, v5e b=16):
+a SwinL-384 stage-1 attention half-block costs ~4.1 ms through XLA — all
+HBM: the qkv 5D transpose (510 MB), the materialized f32 score tensor
+(509 MB x ~3 passes), and the cast/partition passes. The raw GEMMs run at
+84-100% MXU and are NOT the problem. Earlier kernels (ops/window_attention)
+that took pre-split (BW, H, N, 32) q/k/v also lost: the 32-wide minor dim
+wastes 3/4 of every DMA lane and forces f32 relayouts (measured 2.3 ms).
+
+This kernel instead consumes the natural (B, Hp, Wp, C) layout (C is a
+lane-aligned 128-multiple), and keeps EVERYTHING between the pre-norm
+input and the residual add in VMEM:
+
+    grid (B, Hp/w): one row of windows per step
+      LN over C -> row QKV GEMM (w*Wp, C)@(C, 3C) -> per window, per head:
+      q k^T (bf16 MXU, f32 accum) + rel-pos bias (+ shift mask) ->
+      f32 softmax -> p v (bf16) -> heads concat -> proj GEMM -> + x
+
+HBM traffic per stage-1 half-block: 85 MB in + 85 MB out (was ~3.3 GB).
+
+Scope: eval path (deterministic; DropPath is identity), head_dim = 32
+(all Swin variants), dims whose QKV weight fits VMEM (<= 768 — stage 4's
+1536-dim weight is 14 MiB and that stage is GEMM-bound anyway; the module
+falls back to the XLA path there). The shift roll/unroll stays outside
+(LN and the residual are positionwise, so they commute with the roll).
+Parity: tests/test_ops_kernels.py (CPU interpret) + on-chip check in
+scripts/swin_fused_bench.py vs the XLA block.
+
+Re-designs MT4MTLKD/Spatial_transformer/models/swin_transformer.py:66-162
+(WindowAttention.forward) — same math, TPU-native schedule.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, bqkv_ref, wproj_ref,
+            bproj_ref, bias_ref, mask_ref, o_ref, *, window, num_heads,
+            cols, use_mask, rows_per_step):
+    w = window
+    n = w * w
+    c = x_ref.shape[-1]
+    hd = c // num_heads
+    scale = hd ** -0.5
+
+    rows = x_ref[0]  # (rows_per_step * w, Wp, C)
+    wp = rows.shape[1]
+    xf = rows.reshape(rows_per_step * w * wp, c).astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    normed = (xf - mu) * jax.lax.rsqrt(var + 1e-5)
+    normed = (normed * gamma_ref[...].astype(jnp.float32)
+              + beta_ref[...].astype(jnp.float32)).astype(x_ref.dtype)
+
+    qkv = jax.lax.dot_general(
+        normed, wqkv_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[...].astype(jnp.float32)).astype(x_ref.dtype)
+    qkv = qkv.reshape(rows_per_step, w, wp, 3 * c)
+
+    for r in range(rows_per_step):  # static unroll over row-of-window strips
+        row_q = qkv[r]
+        for j in range(cols):  # static unroll over the windows of this row
+            win = row_q[:, j * w:(j + 1) * w, :].reshape(n, 3 * c)
+            outs = []
+            for h in range(num_heads):
+                q = win[:, h * hd:(h + 1) * hd]
+                k = win[:, c + h * hd:c + (h + 1) * hd]
+                v = win[:, 2 * c + h * hd:2 * c + (h + 1) * hd]
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                s = s + bias_ref[h].astype(jnp.float32)
+                if use_mask:
+                    s = s + mask_ref[r * cols + j].astype(jnp.float32)
+                s = s - jnp.max(s, axis=-1, keepdims=True)
+                e = jnp.exp(s)
+                p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(
+                    x_ref.dtype)
+                outs.append(jax.lax.dot_general(
+                    p, v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(x_ref.dtype))
+            o = jnp.concatenate(outs, axis=-1)  # (n, C)
+            o = jax.lax.dot_general(
+                o, wproj_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o = (o + bproj_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+            # residual in the model dtype (matches the module's bf16 add)
+            res = rows[r * w:(r + 1) * w, j * w:(j + 1) * w, :].reshape(n, c)
+            o_ref[0, r * w:(r + 1) * w, j * w:(j + 1) * w, :] = \
+                (o + res).reshape(w, w, c)
+
+
+@functools.partial(jax.jit, static_argnames=("window", "num_heads",
+                                             "rows_per_step"))
+def window_mhsa_fused(x, gamma, beta, wqkv, bqkv, wproj, bproj, bias,
+                      mask, *, window: int, num_heads: int,
+                      rows_per_step: int = 1):
+    """x (B, Hp, Wp, C) -> x + proj(attn(LN(x))) with windowed attention.
+
+    ``bias`` (H, N, N) relative-position bias; ``mask`` (nW, N, N) additive
+    shift mask or None. Hp, Wp must be multiples of ``window`` (the module
+    falls back to XLA otherwise). ``rows_per_step`` window-rows are
+    processed per grid step (must divide Hp/window).
+    """
+    b, hp, wp, c = x.shape
+    w = window
+    n = w * w
+    rows, cols = hp // w, wp // w
+    r = rows_per_step
+    while rows % r:
+        r //= 2
+    use_mask = mask is not None
+    if not use_mask:
+        mask = jnp.zeros((r * cols, n, n), x.dtype)
+    mask = mask.astype(x.dtype)
+
+    kernel = functools.partial(_kernel, window=w, num_heads=num_heads,
+                               cols=cols, use_mask=use_mask,
+                               rows_per_step=r)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=(b, rows // r),
+        in_specs=[
+            pl.BlockSpec((1, r * w, wp, c), lambda i, rr: (i, rr, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i, r: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i, r: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 3 * c), lambda i, r: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * c,), lambda i, r: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda i, r: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i, r: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_heads, n, n), lambda i, r: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # shift-mask windows are row-major: grid step rr covers nW ids
+            # [rr*r*cols, (rr+1)*r*cols); unshifted passes zeros
+            pl.BlockSpec((r * cols, n, n),
+                         (lambda i, rr: (rr, 0, 0)) if use_mask
+                         else (lambda i, rr: (0, 0, 0)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, r * w, wp, c),
+                               lambda i, rr: (i, rr, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=jax.default_backend() != "tpu",
+    )(x, gamma, beta, wqkv, bqkv, wproj, bproj, bias, mask)
+
+
+def window_mhsa_reference(x, gamma, beta, wqkv, bqkv, wproj, bproj, bias,
+                          mask, *, window: int, num_heads: int):
+    """XLA reference for parity tests — same math, materialized."""
+    b, hp, wp, c = x.shape
+    w = window
+    n = w * w
+    hd = c // num_heads
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    normed = ((xf - mu) * jax.lax.rsqrt(var + 1e-5) * gamma + beta).astype(
+        x.dtype)
+    win = normed.reshape(b, hp // w, w, wp // w, w, c)
+    win = win.transpose(0, 1, 3, 2, 4, 5).reshape(-1, n, c)
+    qkv = (win.reshape(-1, c) @ wqkv).reshape(-1, n, 3 * c) + bqkv
+    qkv = qkv.astype(x.dtype)
+    q = qkv[..., :c].reshape(-1, n, num_heads, hd)
+    k = qkv[..., c:2 * c].reshape(-1, n, num_heads, hd)
+    v = qkv[..., 2 * c:].reshape(-1, n, num_heads, hd)
+    s = jnp.einsum("bnhd,bmhd->bhnm", q, k).astype(jnp.float32) * (hd ** -0.5)
+    s = s + bias[None].astype(jnp.float32)
+    if mask is not None:
+        nw = mask.shape[0]
+        s = s.reshape(-1, nw, num_heads, n, n) + \
+            mask[None, :, None].astype(jnp.float32)
+        s = s.reshape(-1, num_heads, n, n)
+    p = jax.nn.softmax(s, axis=-1).astype(x.dtype)
+    o = jnp.einsum("bhnm,bmhd->bnhd", p, v).reshape(-1, n, c)
+    o = (o.reshape(-1, c) @ wproj).reshape(-1, n, c) + bproj
+    o = o.reshape(b, hp // w, wp // w, w, w, c).transpose(0, 1, 3, 2, 4, 5)
+    return x + o.reshape(b, hp, wp, c).astype(x.dtype)

@@ -19,19 +19,31 @@ import jax
 import jax.numpy as jnp
 
 
-def timed_scan(apply_fn, variables, base, eps, iters=5):
+_BASELINE = [None]
+
+
+def timed_scan(apply_fn, variables, base, eps, iters=20):
+    """Chained-scan timing with the fixed dispatch/tunnel overhead
+    (~25-30 ms/call, measured via an empty loop) subtracted — at the old
+    iters=5 without subtraction every row was inflated ~5.5 ms."""
     @jax.jit
     def loop(v, base, eps):
         def step(acc, i):
-            return acc + apply_fn(v, base + eps[i]), None
+            return acc + apply_fn(v, base + eps[i % eps.shape[0]]), None
 
         total, _ = jax.lax.scan(step, jnp.zeros(()), jnp.arange(iters))
         return total
 
+    if _BASELINE[0] is None:
+        _BASELINE[0] = 0.0
+        z = jnp.zeros((8, 8), jnp.bfloat16)
+        _BASELINE[0] = max(0.0, timed_scan(
+            lambda v, x: x.astype(jnp.float32).mean(), None, z,
+            jnp.zeros((8,), jnp.bfloat16)) * iters)
     float(loop(variables, base, eps))
     t0 = time.perf_counter()
     float(loop(variables, base, eps))
-    return (time.perf_counter() - t0) / iters
+    return max(1e-9, time.perf_counter() - t0 - _BASELINE[0]) / iters
 
 
 def report(name, frames, secs):

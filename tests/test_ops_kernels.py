@@ -184,3 +184,85 @@ def test_multi_window_attention_matches_reference(rng):
     want = window_attention_reference(q, k, v, bias, None)
     got = window_attention_pallas_multi(q, k, v, bias, None, block_windows=8)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_window_mhsa_fused_matches_reference(rng):
+    """Fused LN+QKV+attn+proj+residual half-block (ops/window_mhsa) vs the
+    XLA reference, with and without the shift mask, multi-row grid steps."""
+    import jax
+    import jax.numpy as jnp
+
+    from computervision_codes_tpu.models.swin import _shift_attn_mask
+    from computervision_codes_tpu.ops.window_mhsa import (
+        window_mhsa_fused,
+        window_mhsa_reference,
+    )
+
+    b, hw, c, heads, w = 2, 16, 64, 2, 4
+    x = jnp.asarray(rng.standard_normal((b, hw, hw, c)), jnp.float32)
+    gamma = jnp.asarray(1 + 0.1 * rng.standard_normal(c), jnp.float32)
+    beta = jnp.asarray(0.1 * rng.standard_normal(c), jnp.float32)
+    wqkv = jnp.asarray(rng.standard_normal((c, 3 * c)) * 0.1, jnp.float32)
+    bqkv = jnp.asarray(rng.standard_normal(3 * c) * 0.01, jnp.float32)
+    wproj = jnp.asarray(rng.standard_normal((c, c)) * 0.1, jnp.float32)
+    bproj = jnp.asarray(rng.standard_normal(c) * 0.01, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((heads, 16, 16)) * 0.1,
+                       jnp.float32)
+    for mask in (None, jnp.asarray(_shift_attn_mask(hw, hw, w, 2))):
+        want = window_mhsa_reference(x, gamma, beta, wqkv, bqkv, wproj,
+                                     bproj, bias, mask, window=w,
+                                     num_heads=heads)
+        for r in (1, 2):
+            got = window_mhsa_fused(x, gamma, beta, wqkv, bqkv, wproj,
+                                    bproj, bias, mask, window=w,
+                                    num_heads=heads, rows_per_step=r)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=2e-5)
+
+
+def test_mlp_block_fused_matches_reference(rng):
+    """Fused LN+mlp+residual half-block (ops/mlp_block) vs XLA, including
+    the hidden-chunked accumulation path and the erf-GELU approximation."""
+    import jax.numpy as jnp
+
+    from computervision_codes_tpu.ops.mlp_block import (
+        mlp_block_fused,
+        mlp_block_reference,
+    )
+
+    t, c = 64, 32
+    x = jnp.asarray(rng.standard_normal((2, t // 2, c)), jnp.float32)
+    gamma = jnp.asarray(1 + 0.1 * rng.standard_normal(c), jnp.float32)
+    beta = jnp.asarray(0.1 * rng.standard_normal(c), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((c, 4 * c)) * 0.2, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal(4 * c) * 0.01, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((4 * c, c)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal(c) * 0.01, jnp.float32)
+    want = mlp_block_reference(x, gamma, beta, w1, b1, w2, b2)
+    # single-chunk and multi-chunk (accumulating) configurations
+    for bt, hc in ((1024, 1024), (16, 32), (32, 64)):
+        got = mlp_block_fused(x, gamma, beta, w1, b1, w2, b2,
+                              block_tokens=bt, hidden_chunk=hc)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, err_msg=f"bt={bt} hc={hc}")
+
+
+def test_swin_fused_eval_matches_xla_model(rng):
+    """SwinTransformer(fused_eval=True) forward == the XLA path on the
+    same params (the production TPU eval path, CPU interpret here)."""
+    import jax
+    import jax.numpy as jnp
+
+    from computervision_codes_tpu.models.swin import (SwinTransformer,
+                                                      VARIANTS)
+
+    cfg = VARIANTS["swin_nano_64"]
+    m_x = SwinTransformer(fused_eval=False, dtype=jnp.float32, **cfg)
+    m_f = SwinTransformer(fused_eval=True, dtype=jnp.float32, **cfg)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    v = m_x.init(jax.random.PRNGKey(1), x)
+    a = m_x.apply(v, x)
+    b = m_f.apply(v, x)
+    for k in ("feature_map", "pooled"):
+        np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                   atol=5e-5)
