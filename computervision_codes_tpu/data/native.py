@@ -39,6 +39,11 @@ def load_library(path: Optional[str] = None):
         ctypes.c_char_p, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
         ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+    if hasattr(lib, "dp_decode_batch_u8"):  # v2 of the library
+        lib.dp_decode_batch_u8.restype = ctypes.c_int
+        lib.dp_decode_batch_u8.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int]
     _lib = lib
     return lib
 
@@ -48,15 +53,16 @@ def available() -> bool:
 
 
 def enabled() -> bool:
-    """Use the native plane by default only where it wins: the scalar C++
-    resampler beats PIL through GIL-free threading (>=4 host cores), not
-    single-threaded throughput (PIL's SIMD fixed-point resize is faster
-    one-core — measured 4x, docs/BENCH.md). CVC_NATIVE_DECODE=1/0 overrides.
+    """Use the native plane by default whenever built: since round 3 the
+    fixed-point resize + jpeg decode-at-scale beat PIL single-threaded on
+    both formats (PNG 1.4x, JPEG 1.9x at the 854x480->256x448 reference
+    geometry — scripts/hostplane_bench.py, docs/BENCH.md), on top of the
+    GIL-free thread scaling. CVC_NATIVE_DECODE=1/0 overrides.
     """
     flag = os.environ.get("CVC_NATIVE_DECODE")
     if flag is not None:
         return flag == "1" and available()
-    return available() and (os.cpu_count() or 1) >= 4
+    return available()
 
 
 def _cfloats(arr) -> "ctypes.POINTER(ctypes.c_float)":
@@ -81,6 +87,30 @@ def decode_batch(paths: Sequence[str], size: Tuple[int, int],
     failed = lib.dp_decode_batch(
         joined, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         h, w, _cfloats(mean_a), _cfloats(std_a), threads)
+    if failed:
+        raise IOError(f"native decode failed for {failed}/{n} files")
+    return out
+
+
+def decode_batch_u8(paths: Sequence[str], size: Tuple[int, int],
+                    n_threads: Optional[int] = None) -> np.ndarray:
+    """Decode+resize WITHOUT normalization -> (N, H, W, 3) uint8.
+
+    The serving path normalizes uint8 frames on device (serving.py), so
+    the host skips the float conversion — 3x less output memory traffic
+    and the fastest feed path (scripts/hostplane_bench.py)."""
+    lib = load_library()
+    if lib is None or not hasattr(lib, "dp_decode_batch_u8"):
+        raise RuntimeError("native data plane v2 not built; run "
+                           "native/build.sh")
+    h, w = size
+    n = len(paths)
+    out = np.empty((n, h, w, 3), np.uint8)
+    joined = "\n".join(paths).encode()
+    threads = n_threads or min(os.cpu_count() or 1, 16)
+    failed = lib.dp_decode_batch_u8(
+        joined, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        h, w, threads)
     if failed:
         raise IOError(f"native decode failed for {failed}/{n} files")
     return out

@@ -81,7 +81,7 @@ void jpeg_err_exit(j_common_ptr cinfo) {
   longjmp(err->jb, 1);
 }
 
-Image decode_jpeg(const char* path) {
+Image decode_jpeg(const char* path, int target_h = 0, int target_w = 0) {
   Image out;
   FILE* fp = std::fopen(path, "rb");
   if (!fp) return out;
@@ -98,6 +98,19 @@ Image decode_jpeg(const char* path) {
   jpeg_stdio_src(&cinfo, fp);
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
+  if (target_h > 0 && target_w > 0) {
+    // decode-at-scale (libjpeg supports M/8 scaled IDCT): pick the
+    // smallest M/8 whose scaled dims still cover the resize target —
+    // e.g. 854x480 -> 256x448 decodes at 5/8, skipping ~60% of the IDCT
+    int m = 8;
+    for (int cand = 1; cand <= 8; ++cand) {
+      long sh = (long(cinfo.image_height) * cand + 7) / 8;
+      long sw = (long(cinfo.image_width) * cand + 7) / 8;
+      if (sh >= target_h && sw >= target_w) { m = cand; break; }
+    }
+    cinfo.scale_num = m;
+    cinfo.scale_denom = 8;
+  }
   jpeg_start_decompress(&cinfo);
   out.w = cinfo.output_width;
   out.h = cinfo.output_height;
@@ -113,25 +126,31 @@ Image decode_jpeg(const char* path) {
   return out;
 }
 
-Image decode(const char* path) {
+Image decode(const char* path, int target_h = 0, int target_w = 0) {
   size_t n = std::strlen(path);
   bool jpg = (n >= 4 && std::strcmp(path + n - 4, ".jpg") == 0) ||
              (n >= 5 && std::strcmp(path + n - 5, ".jpeg") == 0);
-  if (jpg) return decode_jpeg(path);
+  if (jpg) return decode_jpeg(path, target_h, target_w);
   Image img = decode_png(path);
-  if (!img.ok) img = decode_jpeg(path);  // extension lied
+  if (!img.ok) img = decode_jpeg(path, target_h, target_w);  // extension lied
   return img;
 }
 
-// PIL-parity bilinear resize: antialiased triangle filter with support
-// scaled by the downscale ratio (Pillow's ImagingResample with BILINEAR),
-// separable horizontal+vertical passes, then ImageNet normalize.
+// PIL-parity bilinear resize, FIXED-POINT (round 3): int16 coefficients
+// scaled by 1<<14 (weights per output pixel sum to exactly 1<<14, so the
+// int32 accumulator is bounded by 255<<14), uint8 intermediate rows like
+// Pillow's own 8bpc pipeline, horizontal-then-vertical pass order to match
+// Pillow's rounding. The round-2 scalar double-precision version measured
+// 44 img/s vs PIL's 168 (docs/BENCH.md); the fixed-point inner loops
+// auto-vectorize under -O3 -march=native (AVX2/AVX-512 here).
 struct Coeffs {
-  std::vector<int> xmin;           // first source index per output pixel
-  std::vector<int> count;          // taps per output pixel
-  std::vector<double> weights;     // flattened taps
+  std::vector<int> xmin;            // first source index per output pixel
+  std::vector<int> count;           // taps per output pixel
+  std::vector<int16_t> weights;     // flattened fixed-point taps
   int max_taps = 0;
 };
+
+constexpr int kPrec = 14;
 
 Coeffs precompute_coeffs(int in_size, int out_size) {
   Coeffs c;
@@ -141,8 +160,9 @@ Coeffs precompute_coeffs(int in_size, int out_size) {
   int max_taps = int(std::ceil(support)) * 2 + 1;
   c.xmin.resize(out_size);
   c.count.resize(out_size);
-  c.weights.assign(size_t(out_size) * max_taps, 0.0);
+  c.weights.assign(size_t(out_size) * max_taps, 0);
   c.max_taps = max_taps;
+  std::vector<double> w(max_taps);
   for (int i = 0; i < out_size; ++i) {
     double center = (i + 0.5) * scale;
     int xlo = int(center - support + 0.5);
@@ -150,7 +170,6 @@ Coeffs precompute_coeffs(int in_size, int out_size) {
     int xhi = int(center + support + 0.5);
     if (xhi > in_size) xhi = in_size;
     double sum = 0.0;
-    double* w = &c.weights[size_t(i) * max_taps];
     for (int x = xlo; x < xhi; ++x) {
       double arg = (x - center + 0.5) / filterscale;
       double v = arg < 0 ? -arg : arg;
@@ -158,57 +177,91 @@ Coeffs precompute_coeffs(int in_size, int out_size) {
       w[x - xlo] = t;
       sum += t;
     }
-    if (sum != 0.0)
-      for (int k = 0; k < xhi - xlo; ++k) w[k] /= sum;
+    int16_t* wq = &c.weights[size_t(i) * max_taps];
+    int acc = 0;
+    for (int k = 0; k < xhi - xlo; ++k) {
+      // round each weight; force the set to sum to exactly 1<<kPrec by
+      // assigning the residual to the last tap (bounds the accumulator)
+      int q = int(std::lround(w[k] / sum * (1 << kPrec)));
+      wq[k] = int16_t(q);
+      acc += q;
+    }
+    if (xhi > xlo) wq[xhi - xlo - 1] = int16_t(wq[xhi - xlo - 1] +
+                                               ((1 << kPrec) - acc));
     c.xmin[i] = xlo;
     c.count[i] = xhi - xlo;
   }
   return c;
 }
 
+inline uint8_t clamp_u8(int v) {
+  return v < 0 ? 0 : (v > 255 ? 255 : uint8_t(v));
+}
+
+// (h, w, 3) uint8 -> (oh, ow, 3) uint8, horizontal then vertical.
+void resize_u8(const uint8_t* src, int h, int w, uint8_t* dst, int oh,
+               int ow) {
+  Coeffs cx = precompute_coeffs(w, ow);
+  Coeffs cy = precompute_coeffs(h, oh);
+  const int round = 1 << (kPrec - 1);
+  std::vector<uint8_t> tmp(size_t(h) * ow * 3);
+  for (int y = 0; y < h; ++y) {
+    const uint8_t* row = src + size_t(y) * w * 3;
+    uint8_t* trow = &tmp[size_t(y) * ow * 3];
+    for (int x = 0; x < ow; ++x) {
+      const int16_t* wq = &cx.weights[size_t(x) * cx.max_taps];
+      const uint8_t* px = row + size_t(cx.xmin[x]) * 3;
+      int n = cx.count[x];
+      int a0 = round, a1 = round, a2 = round;
+      for (int k = 0; k < n; ++k) {
+        a0 += wq[k] * px[3 * k + 0];
+        a1 += wq[k] * px[3 * k + 1];
+        a2 += wq[k] * px[3 * k + 2];
+      }
+      trow[x * 3 + 0] = clamp_u8(a0 >> kPrec);
+      trow[x * 3 + 1] = clamp_u8(a1 >> kPrec);
+      trow[x * 3 + 2] = clamp_u8(a2 >> kPrec);
+    }
+  }
+  // vertical: for each output row, taps over tmp rows; the inner loop is
+  // contiguous over ow*3 and auto-vectorizes
+  int row_elems = ow * 3;
+  std::vector<int32_t> acc(row_elems);
+  for (int y = 0; y < oh; ++y) {
+    const int16_t* wq = &cy.weights[size_t(y) * cy.max_taps];
+    int y0 = cy.xmin[y], n = cy.count[y];
+    for (int e = 0; e < row_elems; ++e) acc[e] = round;
+    for (int k = 0; k < n; ++k) {
+      const uint8_t* trow = &tmp[size_t(y0 + k) * row_elems];
+      int16_t wk = wq[k];
+      for (int e = 0; e < row_elems; ++e) acc[e] += wk * trow[e];
+    }
+    uint8_t* drow = dst + size_t(y) * row_elems;
+    for (int e = 0; e < row_elems; ++e) drow[e] = clamp_u8(acc[e] >> kPrec);
+  }
+}
+
+void normalize_u8(const uint8_t* src, float* out, int oh, int ow,
+                  const float* mean, const float* stddev) {
+  // precompute per-channel affine: out = px * a + b
+  float a[3], b[3];
+  for (int ci = 0; ci < 3; ++ci) {
+    a[ci] = 1.0f / (255.0f * stddev[ci]);
+    b[ci] = -mean[ci] / stddev[ci];
+  }
+  size_t npx = size_t(oh) * ow;
+  for (size_t i = 0; i < npx; ++i) {
+    out[i * 3 + 0] = src[i * 3 + 0] * a[0] + b[0];
+    out[i * 3 + 1] = src[i * 3 + 1] * a[1] + b[1];
+    out[i * 3 + 2] = src[i * 3 + 2] * a[2] + b[2];
+  }
+}
+
 void resize_normalize(const Image& img, float* out, int oh, int ow,
                       const float* mean, const float* stddev) {
-  Coeffs cx = precompute_coeffs(img.w, ow);
-  Coeffs cy = precompute_coeffs(img.h, oh);
-  // horizontal pass: (h, w, 3) -> (h, ow, 3) in float
-  std::vector<float> tmp(size_t(img.h) * ow * 3);
-  for (int y = 0; y < img.h; ++y) {
-    const uint8_t* row = &img.rgb[size_t(y) * img.w * 3];
-    float* trow = &tmp[size_t(y) * ow * 3];
-    for (int x = 0; x < ow; ++x) {
-      const double* w = &cx.weights[size_t(x) * cx.max_taps];
-      int x0 = cx.xmin[x], n = cx.count[x];
-      double acc[3] = {0, 0, 0};
-      for (int k = 0; k < n; ++k) {
-        const uint8_t* px = row + size_t(x0 + k) * 3;
-        acc[0] += w[k] * px[0];
-        acc[1] += w[k] * px[1];
-        acc[2] += w[k] * px[2];
-      }
-      trow[x * 3 + 0] = float(acc[0]);
-      trow[x * 3 + 1] = float(acc[1]);
-      trow[x * 3 + 2] = float(acc[2]);
-    }
-  }
-  // vertical pass + normalize
-  for (int y = 0; y < oh; ++y) {
-    const double* w = &cy.weights[size_t(y) * cy.max_taps];
-    int y0 = cy.xmin[y], n = cy.count[y];
-    float* dst = out + size_t(y) * ow * 3;
-    for (int x = 0; x < ow; ++x) {
-      double acc[3] = {0, 0, 0};
-      for (int k = 0; k < n; ++k) {
-        const float* px = &tmp[(size_t(y0 + k) * ow + x) * 3];
-        acc[0] += w[k] * px[0];
-        acc[1] += w[k] * px[1];
-        acc[2] += w[k] * px[2];
-      }
-      for (int ci = 0; ci < 3; ++ci) {
-        float v = float(acc[ci]) / 255.0f;
-        dst[x * 3 + ci] = (v - mean[ci]) / stddev[ci];
-      }
-    }
-  }
+  std::vector<uint8_t> resized(size_t(oh) * ow * 3);
+  resize_u8(img.rgb.data(), img.h, img.w, resized.data(), oh, ow);
+  normalize_u8(resized.data(), out, oh, ow, mean, stddev);
 }
 
 }  // namespace
@@ -218,9 +271,19 @@ extern "C" {
 // Decode one image file into normalized float32 HWC. Returns 0 on success.
 int dp_decode_one(const char* path, float* out, int oh, int ow,
                   const float* mean, const float* stddev) {
-  Image img = decode(path);
+  Image img = decode(path, oh, ow);
   if (!img.ok) return 1;
   resize_normalize(img, out, oh, ow, mean, stddev);
+  return 0;
+}
+
+// uint8 variant: resized RGB without normalization — the serving path
+// normalizes uint8 frames on DEVICE (serving.py), so the host can skip
+// the float conversion entirely (3x less output memory traffic).
+int dp_decode_one_u8(const char* path, uint8_t* out, int oh, int ow) {
+  Image img = decode(path, oh, ow);
+  if (!img.ok) return 1;
+  resize_u8(img.rgb.data(), img.h, img.w, out, oh, ow);
   return 0;
 }
 
@@ -259,6 +322,38 @@ int dp_decode_batch(const char* joined_paths, int n, float* out, int oh,
   return failed.load();
 }
 
-int dp_version() { return 1; }
+// Batch uint8 decode (paths newline-joined), threaded like dp_decode_batch.
+int dp_decode_batch_u8(const char* joined_paths, int n, uint8_t* out, int oh,
+                       int ow, int n_threads) {
+  std::vector<std::string> paths;
+  paths.reserve(n);
+  const char* p = joined_paths;
+  for (int i = 0; i < n; ++i) {
+    const char* q = std::strchr(p, '\n');
+    if (!q) q = p + std::strlen(p);
+    paths.emplace_back(p, q - p);
+    p = (*q == '\n') ? q + 1 : q;
+  }
+  std::atomic<int> next(0), failed(0);
+  size_t stride = size_t(oh) * ow * 3;
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      uint8_t* dst = out + stride * i;
+      if (dp_decode_one_u8(paths[i].c_str(), dst, oh, ow) != 0) {
+        std::memset(dst, 0, stride);
+        failed.fetch_add(1);
+      }
+    }
+  };
+  int workers = n_threads < 1 ? 1 : (n_threads > n ? n : n_threads);
+  std::vector<std::thread> pool;
+  for (int i = 0; i < workers; ++i) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
+  return failed.load();
+}
+
+int dp_version() { return 2; }
 
 }  // extern "C"
