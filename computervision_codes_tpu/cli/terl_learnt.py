@@ -79,6 +79,10 @@ def parse_flags(argv: Optional[Sequence[str]] = None):
     p.add_argument("--kcl_k", type=int, default=7)
     p.add_argument("--train_div", type=float, default=1.0)
     p.add_argument("--max_anchors_per_image", type=int, default=4)
+    p.add_argument("--eval_tag", type=str, default="",
+                   help="checkpoint tag for --test/--dump restore: '' = "
+                        "best-by-val (reference protocol), 'latest' = "
+                        "final epoch (efficacy endpoint comparisons)")
     p.add_argument("--cam_dump", type=str, default="",
                    help="directory: restore the checkpoint and write "
                         "per-task CAM overlay PNGs for test-split frames "
@@ -217,8 +221,8 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
         result["train_epochs"] = flags.epochs
 
     if flags.test:
-        if ckpt.exists():
-            state = ckpt.restore(state)
+        if ckpt.exists(flags.eval_tag):
+            state = ckpt.restore(state, tag=flags.eval_tag)
         common.reset_metrics(metrics)
         common.evaluate_videos(run_batch, dataset, split.test, flags.batch,
                                metrics)
@@ -237,8 +241,8 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
             result["test_train_mAP"] = score
 
     if flags.dump:
-        if ckpt.exists():
-            state = ckpt.restore(state)
+        if ckpt.exists(flags.eval_tag):
+            state = ckpt.restore(state, tag=flags.eval_tag)
         store = FeatureStore(feats_root, flags.version or "TERL")
         dm = common.make_metrics()
         preds_out = {}

@@ -158,6 +158,8 @@ class Q2L(nn.Module):
     num_target: int = 15
     num_triplet: int = 100
     drop_path_rate: float = 0.1
+    remat: bool = False  # rematerialize Swin blocks — SwinL-384 training
+    # at useful batch sizes needs it on one chip (see scripts/train_bench)
     dtype: jnp.dtype = jnp.float32
 
     def _tasks(self):
@@ -178,6 +180,7 @@ class Q2L(nn.Module):
         if self.backbone in SWIN_VARIANTS:
             bb = SwinTransformer(num_classes=0,
                                  drop_path_rate=self.drop_path_rate,
+                                 remat=self.remat,
                                  dtype=self.dtype, name="backbone",
                                  **SWIN_VARIANTS[self.backbone])
             fmap = bb(images, train=train)["feature_map"]

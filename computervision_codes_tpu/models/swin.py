@@ -199,6 +199,9 @@ class SwinBlock(nn.Module):
         w = self.window
         fused_ok = (deterministic and not self.is_initializing()
                     and hgt % w == 0 and wid % w == 0
+                    and w % 2 == 0  # Mosaic rejects odd windows (n=49):
+                    # "infer-vector-layout: unsupported shape cast" — the
+                    # 224-class models (window 7) stay on the XLA path
                     and self.dim <= 768 and not self.use_fused_attn)
         use_fused = (self.fused_eval if self.fused_eval is not None
                      else jax.default_backend() == "tpu")

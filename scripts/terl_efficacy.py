@@ -84,6 +84,13 @@ def parse_args():
     p.add_argument("--assert_gain", action="store_true",
                    help="additionally require delta(rare AP) > 0 (see "
                         "module docstring for why this is NOT the default)")
+    p.add_argument("--eval_latest", action="store_true",
+                   help="evaluate each arm's LATEST checkpoint instead of "
+                        "best-by-val: the reference's best-by-val protocol "
+                        "collapses every arm to the warm-start checkpoint "
+                        "whenever contrastive training never improves "
+                        "validation (observed in both 10-seed runs), so "
+                        "this compares actual trained endpoints")
     p.add_argument("--ablate_scales", action="store_true",
                    help="per seed, also run loss-SCALE ablation arms: "
                         "'norm' divides the x1000-scaled ASL proto/tail "
@@ -179,6 +186,8 @@ def main():
             "--seed", str(seed), "-l", str(a.lr), str(a.lr), str(a.lr),
             "-w", "1", "1", "1", "--val_interval", "2",
             "--augmentation_list", "brightness", "contrast", "jitter"]
+        if a.eval_latest:
+            argv += ["--eval_tag", "latest"]
         if pretrain_dir:
             argv += ["--pretrain_dir", pretrain_dir]
         terl_learnt.main(argv)

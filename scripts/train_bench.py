@@ -1,12 +1,19 @@
 """Training-step throughput on the real TPU chip (inference rows live in
-bench_suite.py; this measures the KD-student TRAIN path).
+bench_suite.py; this measures the TRAIN paths of every heavy stage).
 
-One chained-scan program: N spatial KD train steps (ResNet18 + 4 heads +
-cross-task attention, full hard+soft+MSE loss mix, SGD update, BN batch
-stats) with the state threaded through the scan — every step's update
-feeds the next, so nothing can be hoisted or overlapped away.
+One chained-scan program per row: N train steps with the state threaded
+through the scan — every step's update feeds the next, so nothing can be
+hoisted or overlapped away. Rows (VERDICT r2 item 8 — the stages that
+dominate the reference's wall-clock, e.g.
+MT4MTLKD/Spatial_transformer/run.py:423-480 epoch loops):
 
-Run (TPU, single process!): python scripts/train_bench.py
+  * KD student (ResNet18 + heads + cross-task attention, full loss mix)
+  * Q2L SwinL-384 teacher (BCE component stage, remat backbone)
+  * MS-TCT temporal teacher (B=31 windows x 256 frames, reference batch)
+  * TCN full-video multi-task stage (6144 frames)
+  * TERL contrastive stage (SwinT-224 MoCo queue/prototypes/EMA)
+
+Run (TPU, single process!): python scripts/train_bench.py [row ...]
 """
 
 import json
@@ -18,6 +25,21 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def timed_steps(run, state, batch_data, iters):
+    float(run(state, batch_data))
+    t0 = time.perf_counter()
+    float(run(state, batch_data))
+    return (time.perf_counter() - t0) / iters
+
+
+def report(name, dt, frames):
+    print(json.dumps({
+        "metric": name,
+        "per_step_ms": round(dt * 1e3, 2),
+        "frames_per_sec": round(frames / dt, 1),
+    }), flush=True)
 
 
 def main(batch=32, iters=10):
@@ -62,17 +84,180 @@ def main(batch=32, iters=10):
             st, losses = jax.lax.scan(body, state, jnp.arange(iters))
             return losses[-1]
 
-        float(run(state, batch_data))
-        t0 = time.perf_counter()
-        float(run(state, batch_data))
-        dt = (time.perf_counter() - t0) / iters
-        print(json.dumps({
-            "metric": f"KD-student train step {dtype_name} "
-                      f"(b={batch}, 256x448, full hard+soft+MSE mix)",
-            "per_step_ms": round(dt * 1e3, 2),
-            "frames_per_sec": round(batch / dt, 1),
-        }))
+        dt = timed_steps(run, state, batch_data, iters)
+        report(f"KD-student train step {dtype_name} "
+               f"(b={batch}, 256x448, full hard+soft+MSE mix)", dt, batch)
 
+
+def q2l_teacher(batch=8, iters=6):
+    """Q2L SwinL-384 component-teacher train step (the heaviest stage the
+    reference trains, Spatial_transformer/run.py:423-480)."""
+    from computervision_codes_tpu.cli.spatial_transformer import (
+        TOOL_POS_WEIGHT, VERB_POS_WEIGHT, TARGET_POS_WEIGHT)
+    from computervision_codes_tpu.models.q2l import Q2L
+    from computervision_codes_tpu.train import build_sgd, create_train_state
+    from computervision_codes_tpu.train.trainer import make_spatial_train_step
+
+    rng = np.random.default_rng(0)
+    model = Q2L(backbone="swin_L_384_22k", loss_type="i",
+                dtype=jnp.bfloat16, remat=True)
+    tx = build_sgd(1e-2, weight_decay=1e-5)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                               (jnp.zeros((1, 384, 384, 3), jnp.float32),))
+    batch_data = {
+        "image": jnp.asarray(rng.standard_normal((batch, 384, 384, 3)),
+                             jnp.float32),
+        "label_i": jnp.zeros((batch, 6), jnp.float32),
+        "label_v": jnp.zeros((batch, 10), jnp.float32),
+        "label_t": jnp.zeros((batch, 15), jnp.float32),
+        "label_ivt": jnp.zeros((batch, 100), jnp.float32),
+    }
+    pw = {"i": TOOL_POS_WEIGHT, "v": VERB_POS_WEIGHT, "t": TARGET_POS_WEIGHT}
+    step = make_spatial_train_step(model, "i", pos_weights=pw)
+
+    @jax.jit
+    def run(state, batch_data):
+        def body(st, i):
+            b = dict(batch_data, image=batch_data["image"]
+                     + (i % 2).astype(jnp.float32) * 1e-3)
+            st, metrics = step(st, b)
+            return st, metrics["loss"]
+
+        st, losses = jax.lax.scan(body, state, jnp.arange(iters))
+        return losses[-1]
+
+    dt = timed_steps(run, state, batch_data, iters)
+    report(f"Q2L SwinL-384 teacher train step bf16 (b={batch}, remat)",
+           dt, batch)
+
+
+def mstct(batch=31, window=256, iters=10):
+    """MS-TCT train step at the reference's B=31 window batch
+    (Temporal_mstct/run.py:306)."""
+    from computervision_codes_tpu.cli.temporal_mstct import (
+        TASK_INFO, make_mstct_train_step)
+    from computervision_codes_tpu.models.mstct import MSTCT
+    from computervision_codes_tpu.train import build_sgd, create_train_state
+
+    rng = np.random.default_rng(0)
+    n_cls, pos_w = TASK_INFO["i"]
+    model = MSTCT(num_classes=n_cls, dtype=jnp.bfloat16)
+    tx = build_sgd(1e-2)
+    state = create_train_state(
+        model, tx, jax.random.PRNGKey(0),
+        (jnp.zeros((1, window, 1536), jnp.float32),))
+    batch_data = {
+        "features": jnp.asarray(
+            rng.standard_normal((batch, window, 1536)), jnp.float32),
+        "labels": jnp.zeros((batch, window, n_cls), jnp.float32),
+    }
+    step = make_mstct_train_step(model, "i", jnp.asarray(pos_w))
+
+    @jax.jit
+    def run(state, batch_data):
+        def body(st, i):
+            b = dict(batch_data, features=batch_data["features"]
+                     + (i % 2).astype(jnp.float32) * 1e-3)
+            st, metrics = step(st, b)
+            return st, metrics["loss"]
+
+        st, losses = jax.lax.scan(body, state, jnp.arange(iters))
+        return losses[-1]
+
+    dt = timed_steps(run, state, batch_data, iters)
+    report(f"MS-TCT train step bf16 (b={batch} windows x {window})",
+           dt, batch * window)
+
+
+def tcn(frames=6144, iters=10):
+    """Temporal TCN multi-task train step over one full video."""
+    from computervision_codes_tpu.models.tcn import TemporalTCN
+    from computervision_codes_tpu.train import build_sgd, create_train_state
+    from computervision_codes_tpu.train.trainer import make_tcn_train_step
+
+    rng = np.random.default_rng(0)
+    model = TemporalTCN(dtype=jnp.bfloat16)
+    tx = build_sgd(1e-2)
+    state = create_train_state(
+        model, tx, jax.random.PRNGKey(0),
+        (jnp.zeros((1, 256, 1536), jnp.float32),))
+    batch_data = {
+        "features": jnp.asarray(rng.standard_normal((1, frames, 1536)),
+                                jnp.float32),
+        "label_ivt": jnp.zeros((1, frames, 100), jnp.float32),
+        "label_i": jnp.zeros((1, frames, 6), jnp.float32),
+        "label_v": jnp.zeros((1, frames, 10), jnp.float32),
+        "label_t": jnp.zeros((1, frames, 15), jnp.float32),
+    }
+    step = make_tcn_train_step(model)
+
+    @jax.jit
+    def run(state, batch_data):
+        def body(st, i):
+            b = dict(batch_data, features=batch_data["features"]
+                     + (i % 2).astype(jnp.float32) * 1e-3)
+            st, metrics = step(st, b)
+            return st, metrics["loss_total"]
+
+        st, losses = jax.lax.scan(body, state, jnp.arange(iters))
+        return losses[-1]
+
+    dt = timed_steps(run, state, batch_data, iters)
+    report(f"TCN full-video train step bf16 ({frames} frames)", dt, frames)
+
+
+def terl(batch=16, iters=6):
+    """TERL contrastive train step (SwinT-224 + MoCo queue/prototypes/EMA,
+    TERL/6_baseline_learnT/run.py:311-350)."""
+    from computervision_codes_tpu.models.moco import (TERLModel,
+                                                      select_tail_anchors)
+    from computervision_codes_tpu.train import build_sgd
+    from computervision_codes_tpu.train.terl import (create_terl_state,
+                                                     make_terl_train_step)
+
+    rng = np.random.default_rng(0)
+    model = TERLModel(backbone="swin_T_224_1k", moco_dim=768, mlp=True,
+                      dtype=jnp.bfloat16)
+    state = create_terl_state(model, build_sgd(1e-5), jax.random.PRNGKey(0),
+                              jnp.zeros((2, 224, 224, 3), jnp.float32),
+                              queue_size=16384)
+    tail = np.zeros((batch, 100))
+    tail[0, 5] = tail[3, 42] = 1
+    s, c, v = select_tail_anchors(tail, 2 * batch)
+    batch_data = {
+        "image1": jnp.asarray(rng.standard_normal((batch, 224, 224, 3)),
+                              jnp.float32),
+        "image2": jnp.asarray(rng.standard_normal((batch, 224, 224, 3)),
+                              jnp.float32),
+        "anchor_sample": jnp.asarray(s),
+        "anchor_class": jnp.asarray(c),
+        "anchor_valid": jnp.asarray(v),
+    }
+    for key, n in (("i", 6), ("v", 10), ("t", 15), ("ivt", 100)):
+        batch_data[f"label_{key}"] = jnp.asarray(
+            (rng.random((batch, n)) < 0.2).astype(np.float32))
+    step = make_terl_train_step(model, w_epoch=0, kcl_k=0)
+
+    @jax.jit
+    def run(state, batch_data):
+        def body(st, i):
+            b = dict(batch_data, image1=batch_data["image1"]
+                     + (i % 2).astype(jnp.float32) * 1e-3)
+            st, metrics = step(st, b, jnp.asarray(1))
+            return st, metrics["loss"]
+
+        st, losses = jax.lax.scan(body, state, jnp.arange(iters))
+        return losses[-1]
+
+    dt = timed_steps(run, state, batch_data, iters)
+    report(f"TERL contrastive train step bf16 (SwinT-224, b={batch}, "
+           f"queue 16384)", dt, batch)
+
+
+ROWS = {"kd": main, "q2l": q2l_teacher, "mstct": mstct, "tcn": tcn,
+        "terl": terl}
 
 if __name__ == "__main__":
-    main()
+    rows = sys.argv[1:] or list(ROWS)
+    for r in rows:
+        ROWS[r]()
