@@ -62,6 +62,7 @@ def fold_bn(scale_w: jnp.ndarray, bn: dict, eps: float = 1e-5):
 
 def quantized_conv_bn(x: jnp.ndarray, qw: dict, *, stride: int = 1,
                       padding="SAME", relu: bool = False,
+                      leaky_slope=None,
                       dtype=jnp.bfloat16, record=None) -> jnp.ndarray:
     """x (NHWC float) -> quantize -> int8 conv -> fused dequant+BN[+relu].
 
@@ -85,6 +86,8 @@ def quantized_conv_bn(x: jnp.ndarray, qw: dict, *, stride: int = 1,
     acc = conv_i8(xq, qw["w_q"], stride=stride, padding=padding)
     out = acc.astype(jnp.float32) * (s_act * qw["mult"])[None, None, None, :]
     out = out + qw["bias"][None, None, None, :]
-    if relu:
+    if leaky_slope is not None:  # TResNet ABN epilogue (leaky-relu)
+        out = jax.nn.leaky_relu(out, leaky_slope)
+    elif relu:
         out = jax.nn.relu(out)
     return out.astype(dtype)

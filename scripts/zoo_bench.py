@@ -20,19 +20,30 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timed_scan(apply_fn, variables, base, eps, iters=5):
+_BASELINE = [None]
+
+
+def timed_scan(apply_fn, variables, base, eps, iters=20):
+    """Chained scan with the fixed ~25 ms dispatch overhead subtracted
+    (round-3 methodology, see docs/BENCH.md measurement correction)."""
     @jax.jit
     def loop(v, base, eps):
         def step(acc, i):
-            return acc + apply_fn(v, base + eps[i]), None
+            return acc + apply_fn(v, base + eps[i % eps.shape[0]]), None
 
         total, _ = jax.lax.scan(step, jnp.zeros(()), jnp.arange(iters))
         return total
 
+    if _BASELINE[0] is None:
+        _BASELINE[0] = 0.0
+        z = jnp.zeros((8, 8), jnp.bfloat16)
+        _BASELINE[0] = max(0.0, timed_scan(
+            lambda v, x: x.astype(jnp.float32).mean(), None, z,
+            jnp.zeros((8,), jnp.bfloat16)) * iters)
     float(loop(variables, base, eps))
     t0 = time.perf_counter()
     float(loop(variables, base, eps))
-    return (time.perf_counter() - t0) / iters
+    return max(1e-9, time.perf_counter() - t0 - _BASELINE[0]) / iters
 
 
 def main(batch=32):
@@ -63,6 +74,21 @@ def main(batch=32):
     s = timed_scan(tres_fwd, tv, imgs, eps)
     print(json.dumps({"metric": f"TResNet-M backbone 224 (b={batch}, "
                                 "Pallas ABN/blur-pool/s2d kernels)",
+                      "fps": round(batch / s, 1),
+                      "per_step_ms": round(s * 1e3, 2)}))
+
+    # int8-PTQ TResNet (round 3 — per-conv gains measured 1.1-4.0x,
+    # scripts/stem_probe.py; CvT int8 is a recorded NEGATIVE: its patch
+    # convs run 0.34-0.52x in int8 and dw projections are a wash)
+    from computervision_codes_tpu.models.quant_tresnet import (
+        make_int8_tresnet)
+
+    fn, qp = make_int8_tresnet("tresnet_m", tv,
+                               calibrate_frames=np.asarray(imgs[:4]))
+    s = timed_scan(lambda q, x: fn(q, x)["pooled"].astype(
+        jnp.float32).mean(), qp, imgs, eps)
+    print(json.dumps({"metric": f"TResNet-M backbone 224 int8-PTQ "
+                                f"(b={batch}, calibrated static scales)",
                       "fps": round(batch / s, 1),
                       "per_step_ms": round(s * 1e3, 2)}))
 

@@ -129,3 +129,34 @@ def test_int8_static_scales_track_dynamic(rng):
     ref = model.apply(variables, clips)
     corr_f = np.corrcoef(np.asarray(ref["ivt"], np.float64).ravel(), b)[0, 1]
     assert corr_f > 0.98, corr_f
+
+
+def test_int8_tresnet_pooled_parity(rng):
+    """quantize_tresnet + quantized_tresnet_apply track the float TResNet
+    (pooled cosine > 0.99, dynamic AND calibrated static scales) — the
+    round-3 int8 zoo extension (per-conv gains 1.1-4.0x on-chip,
+    scripts/stem_probe.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from computervision_codes_tpu.models.quant_tresnet import (
+        calibrate_tresnet,
+        quantize_tresnet,
+        quantized_tresnet_apply,
+    )
+    from computervision_codes_tpu.models.tresnet import (VARIANTS,
+                                                         build_tresnet)
+
+    m = build_tresnet("tresnet_m", dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    v = m.init(jax.random.PRNGKey(1), x)
+    want = m.apply(v, x)["pooled"]
+    cfg = VARIANTS["tresnet_m"]
+    qp = quantize_tresnet(v["params"], v["batch_stats"])
+    for tree in (qp, calibrate_tresnet(qp, x, cfg["width"], cfg["layers"],
+                                       dtype=jnp.float32)):
+        got = quantized_tresnet_apply(tree, x, cfg["width"], cfg["layers"],
+                                      dtype=jnp.float32)["pooled"]
+        cos = float(jnp.sum(want * got)
+                    / (jnp.linalg.norm(want) * jnp.linalg.norm(got)))
+        assert cos > 0.99, cos
