@@ -154,10 +154,9 @@ class SwinBlock(nn.Module):
     fused_eval: Optional[bool] = None
     dtype: jnp.dtype = jnp.float32
 
-    def _fused_forward(self, x: jnp.ndarray) -> jnp.ndarray:
-        """Eval forward through ops/window_mhsa + ops/mlp_block, reading
+    def _fused_attn_half(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x + proj(window_attn(LN1(x))) through ops/window_mhsa, reading
         the SAME param tree the XLA path creates."""
-        from ..ops.mlp_block import mlp_block_fused
         from ..ops.window_mhsa import window_mhsa_fused
 
         p = self.variables["params"]
@@ -185,6 +184,14 @@ class SwinBlock(nn.Module):
             bias, mask, window=w, num_heads=h)
         if shift:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
+        return x
+
+    def _fused_mlp_half(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x + mlp(LN2(x)) through ops/mlp_block (hidden-chunked, so it
+        serves every stage incl. dim 1536)."""
+        from ..ops.mlp_block import mlp_block_fused
+
+        p = self.variables["params"]
         mp = p["mlp"]
         return mlp_block_fused(
             x, p["norm2"]["scale"], p["norm2"]["bias"],
@@ -197,16 +204,21 @@ class SwinBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         b, hgt, wid, c = x.shape
         w = self.window
-        fused_ok = (deterministic and not self.is_initializing()
-                    and hgt % w == 0 and wid % w == 0
-                    and w % 2 == 0  # Mosaic rejects odd windows (n=49):
-                    # "infer-vector-layout: unsupported shape cast" — the
-                    # 224-class models (window 7) stay on the XLA path
-                    and self.dim <= 768 and not self.use_fused_attn)
         use_fused = (self.fused_eval if self.fused_eval is not None
                      else jax.default_backend() == "tpu")
-        if fused_ok and use_fused:
-            return self._fused_forward(x)
+        fused_base = (use_fused and deterministic
+                      and not self.is_initializing()
+                      and not self.use_fused_attn)
+        # MHSA kernel: needs clean windows, an even window size (Mosaic
+        # rejects n=49 shapes: "infer-vector-layout: unsupported shape
+        # cast" — 224-class models stay on XLA), and a VMEM-resident QKV
+        # weight (dim 1536's is 14 MiB alone, and stage 4 is GEMM-bound)
+        fused_attn = (fused_base and hgt % w == 0 and wid % w == 0
+                      and w % 2 == 0 and self.dim <= 768)
+        # MLP kernel: hidden-chunked weights — applies at EVERY dim
+        if fused_attn:
+            x = self._fused_attn_half(x)
+            return self._fused_mlp_half(x)
         shortcut = x
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         # pad to window multiples (reference pads inside the block)
@@ -234,9 +246,15 @@ class SwinBlock(nn.Module):
             x = x[:, :hgt, :wid]
         x = shortcut + DropPath(self.drop_path, name="drop_path1")(
             x, deterministic)
-        mlp_out = Mlp(int(self.dim * self.mlp_ratio), dropout=self.dropout,
-                      dtype=self.dtype, name="mlp")(
-            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x), deterministic)
+        # norm2 + mlp must be DECLARED on every path (identical tree);
+        # the fused MLP half replaces only their execution
+        norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")
+        mlp = Mlp(int(self.dim * self.mlp_ratio), dropout=self.dropout,
+                  dtype=self.dtype, name="mlp")
+        if fused_base:
+            # XLA attention half + fused MLP half (stage 4, odd windows)
+            return self._fused_mlp_half(x)
+        mlp_out = mlp(norm2(x), deterministic)
         return x + DropPath(self.drop_path, name="drop_path2")(
             mlp_out, deterministic)
 
