@@ -152,7 +152,51 @@ class SwinBlock(nn.Module):
     # Init and training always take the XLA path, so the param tree and
     # gradients are identical either way.
     fused_eval: Optional[bool] = None
+    # fused_split: run the two half-block kernels instead of the merged
+    # single-kernel block (ops/swin_block) — kept for A/B benching
+    fused_split: bool = False
     dtype: jnp.dtype = jnp.float32
+
+    def _fused_full_block(self, x: jnp.ndarray) -> jnp.ndarray:
+        """The whole block (attn + MLP halves) through ops/swin_block's
+        single kernel — one launch, no HBM round-trip for the intermediate.
+        Attention commutes with the shift roll (LN/MLP are positionwise),
+        so the roll/unroll stays outside, as in the split path."""
+        from ..ops.swin_block import swin_block_fused
+
+        p = self.variables["params"]
+        b, hgt, wid, c = x.shape
+        w = self.window
+        n = w * w
+        h = self.num_heads
+        shift = self.shift if min(hgt, wid) > w else 0
+
+        table = p["attn"]["relative_position_bias_table"]
+        idx = _relative_position_index(w).reshape(-1)
+        bias = table[idx].reshape(n, n, h).transpose(2, 0, 1).astype(
+            self.dtype)
+        if shift:
+            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+            mask = jnp.asarray(_shift_attn_mask(hgt, wid, w, shift))
+        else:
+            mask = None
+        mp = p["mlp"]
+        x = swin_block_fused(
+            x, p["norm1"]["scale"], p["norm1"]["bias"],
+            p["attn"]["qkv"]["kernel"].astype(self.dtype),
+            p["attn"]["qkv"]["bias"].astype(self.dtype),
+            p["attn"]["proj"]["kernel"].astype(self.dtype),
+            p["attn"]["proj"]["bias"].astype(self.dtype),
+            bias, mask,
+            p["norm2"]["scale"], p["norm2"]["bias"],
+            mp["Dense_0"]["kernel"].astype(self.dtype),
+            mp["Dense_0"]["bias"].astype(self.dtype),
+            mp["Dense_1"]["kernel"].astype(self.dtype),
+            mp["Dense_1"]["bias"].astype(self.dtype),
+            window=w, num_heads=h)
+        if shift:
+            x = jnp.roll(x, (shift, shift), axis=(1, 2))
+        return x
 
     def _fused_attn_half(self, x: jnp.ndarray) -> jnp.ndarray:
         """x + proj(window_attn(LN1(x))) through ops/window_mhsa, reading
@@ -217,8 +261,15 @@ class SwinBlock(nn.Module):
                       and w % 2 == 0 and self.dim <= 768)
         # MLP kernel: hidden-chunked weights — applies at EVERY dim
         if fused_attn:
-            x = self._fused_attn_half(x)
-            return self._fused_mlp_half(x)
+            # merged single-kernel block wins at dims <= 384 (1.06-1.10x,
+            # scripts/swin_fused_bench.py --merged_only); at 768 the MLP
+            # weights no longer fit un-chunked and the per-row-strip
+            # weight re-DMA makes it 0.95x — stage 3 stays on the split
+            # half-block kernels
+            if self.fused_split or self.dim > 384:
+                x = self._fused_attn_half(x)
+                return self._fused_mlp_half(x)
+            return self._fused_full_block(x)
         shortcut = x
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         # pad to window multiples (reference pads inside the block)
@@ -290,6 +341,8 @@ class SwinTransformer(nn.Module):
     use_fused_attn: bool = False  # multi-window Pallas attention kernel
     fused_block: int = 8  # windows per fused-kernel grid step
     fused_eval: Optional[bool] = None  # fused half-block kernels (SwinBlock)
+    fused_split: bool = False  # split half-block kernels instead of the
+    # merged single-kernel block — A/B benching only
     num_classes: int = 0  # 0 = headless (Q2L strips the head)
     remat: bool = False  # rematerialize blocks (jax.checkpoint) — trades
     # FLOPs for HBM so SwinL-384 trains on one chip at useful batch sizes
@@ -321,6 +374,7 @@ class SwinTransformer(nn.Module):
                               use_fused_attn=self.use_fused_attn,
                               fused_block=self.fused_block,
                               fused_eval=self.fused_eval,
+                              fused_split=self.fused_split,
                               dtype=self.dtype,
                               name=f"stage{si}_block{d}")(x, det)
                 bi += 1

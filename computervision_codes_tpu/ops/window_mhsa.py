@@ -13,9 +13,22 @@ lane-aligned 128-multiple), and keeps EVERYTHING between the pre-norm
 input and the residual add in VMEM:
 
     grid (B, Hp/w): one row of windows per step
-      LN over C -> row QKV GEMM (w*Wp, C)@(C, 3C) -> per window, per head:
-      q k^T (bf16 MXU, f32 accum) + rel-pos bias (+ shift mask) ->
-      f32 softmax -> p v (bf16) -> heads concat -> proj GEMM -> + x
+      LN over C -> row QKV GEMM (w*Wp, C)@(C, 3C) -> per window, per
+      HEAD GROUP of g heads (largest g | num_heads with g*head_dim <= 128):
+      q_G (n, g*hd) @ (masked tile of k_G) (g*n, g*hd)^T gives all g score
+      blocks in ONE bf16 MXU GEMM + packed rel-pos bias (+ tiled shift
+      mask) -> f32 softmax (one row-wide max upper-bounds every block max
+      and per-block softmax is shift-invariant; block denominators via a
+      ones-matmul) -> p_G @ (masked tile of v_G) emits the group's heads
+      pre-concatenated -> groups concat -> proj GEMM -> + x
+
+The head-group packing trades g-fold FLOP redundancy for g/4-fold MXU
+utilization (a wash at g*hd <= 128) but eliminates per-head sub-128-lane
+slicing, 2*g-fold matmul instruction count, per-head softmax dispatch and
+the head concat — measured 1.13x (stage 1, g=3) to 1.39x (stage 3, g=4)
+over the per-head loop it replaced (scripts/swin_pack_probe.py; a batched
+dot_general formulation fails to lower: Mosaic has no (n,C)->(n,h,hd)
+vector shape cast).
 
 HBM traffic per stage-1 half-block: 85 MB in + 85 MB out (was ~3.3 GB).
 
@@ -37,17 +50,29 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _group_size(num_heads: int, head_dim: int) -> int:
+    """Largest divisor g of num_heads with g*head_dim <= 128 (one MXU pass)."""
+    g = max(1, 128 // head_dim)
+    while num_heads % g:
+        g -= 1
+    return g
+
+
 def _kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, bqkv_ref, wproj_ref,
-            bproj_ref, bias_ref, mask_ref, o_ref, *, window, num_heads,
-            cols, use_mask, rows_per_step):
+            bproj_ref, biasp_ref, mask_ref, kmask_ref, sum_ref, exp_ref,
+            o_ref, *, window, num_heads, cols, use_mask, rows_per_step,
+            group):
     w = window
     n = w * w
     c = x_ref.shape[-1]
     hd = c // num_heads
+    g = group
+    ng = num_heads // g
     scale = hd ** -0.5
 
     rows = x_ref[0]  # (rows_per_step * w, Wp, C)
@@ -65,29 +90,40 @@ def _kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, bqkv_ref, wproj_ref,
     qkv = (qkv + bqkv_ref[...].astype(jnp.float32)).astype(x_ref.dtype)
     qkv = qkv.reshape(rows_per_step, w, wp, 3 * c)
 
+    kmask = kmask_ref[...]
     for r in range(rows_per_step):  # static unroll over row-of-window strips
         row_q = qkv[r]
         for j in range(cols):  # static unroll over the windows of this row
             win = row_q[:, j * w:(j + 1) * w, :].reshape(n, 3 * c)
+            if use_mask:
+                mwin = jnp.tile(mask_ref[r * cols + j].astype(jnp.float32),
+                                (1, g))
             outs = []
-            for h in range(num_heads):
-                q = win[:, h * hd:(h + 1) * hd]
-                k = win[:, c + h * hd:c + (h + 1) * hd]
-                v = win[:, 2 * c + h * hd:2 * c + (h + 1) * hd]
+            for G in range(ng):  # static unroll over head groups
+                qg = win[:, G * g * hd:(G + 1) * g * hd]
+                kg = win[:, c + G * g * hd:c + (G + 1) * g * hd]
+                vg = win[:, 2 * c + G * g * hd:2 * c + (G + 1) * g * hd]
+                kbig = jnp.tile(kg, (g, 1)) * kmask  # block-diag (g*n, g*hd)
                 s = jax.lax.dot_general(
-                    q, k, (((1,), (1,)), ((), ())),
+                    qg, kbig, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32) * scale
-                s = s + bias_ref[h].astype(jnp.float32)
+                s = s + biasp_ref[G].astype(jnp.float32)
                 if use_mask:
-                    s = s + mask_ref[r * cols + j].astype(jnp.float32)
+                    s = s + mwin
+                # row-wide max >= each block max; per-block softmax is
+                # shift-invariant, so one subtraction stabilizes all blocks
                 s = s - jnp.max(s, axis=-1, keepdims=True)
                 e = jnp.exp(s)
-                p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(
-                    x_ref.dtype)
+                denom = jax.lax.dot_general(  # (n, g) per-block sums
+                    e, sum_ref[...], (((1,), (0,)), ((), ())))
+                dexp = jax.lax.dot_general(  # broadcast back to (n, g*n)
+                    1.0 / denom, exp_ref[...], (((1,), (0,)), ((), ())))
+                p = (e * dexp).astype(x_ref.dtype)
+                vbig = jnp.tile(vg, (g, 1)) * kmask
                 outs.append(jax.lax.dot_general(
-                    p, v, (((1,), (0,)), ((), ())),
+                    p, vbig, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32).astype(x_ref.dtype))
-            o = jnp.concatenate(outs, axis=-1)  # (n, C)
+            o = outs[0] if ng == 1 else jnp.concatenate(outs, axis=-1)
             o = jax.lax.dot_general(
                 o, wproj_ref[...], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -113,6 +149,7 @@ def window_mhsa_fused(x, gamma, beta, wqkv, bqkv, wproj, bproj, bias,
     b, hp, wp, c = x.shape
     w = window
     n = w * w
+    hd = c // num_heads
     rows, cols = hp // w, wp // w
     r = rows_per_step
     while rows % r:
@@ -122,9 +159,26 @@ def window_mhsa_fused(x, gamma, beta, wqkv, bqkv, wproj, bproj, bias,
         mask = jnp.zeros((r * cols, n, n), x.dtype)
     mask = mask.astype(x.dtype)
 
+    g = _group_size(num_heads, hd)
+    ng = num_heads // g
+    # packed bias: group G, head-in-group h' -> column block h' of (n, g*n)
+    biasp = bias.reshape(ng, g, n, n).transpose(0, 2, 1, 3).reshape(
+        ng, n, g * n).astype(x.dtype)
+    # block-diagonal keep-mask shared by the k- and v-side masked tiles
+    km = np.zeros((g * n, g * hd), np.float32)
+    sm = np.zeros((g * n, g), np.float32)
+    em = np.zeros((g, g * n), np.float32)
+    for h in range(g):
+        km[h * n:(h + 1) * n, h * hd:(h + 1) * hd] = 1.0
+        sm[h * n:(h + 1) * n, h] = 1.0
+        em[h, h * n:(h + 1) * n] = 1.0
+    kmask = jnp.asarray(km, x.dtype)
+    sum_mat = jnp.asarray(sm)
+    exp_mat = jnp.asarray(em)
+
     kernel = functools.partial(_kernel, window=w, num_heads=num_heads,
                                cols=cols, use_mask=use_mask,
-                               rows_per_step=r)
+                               rows_per_step=r, group=g)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
@@ -144,7 +198,7 @@ def window_mhsa_fused(x, gamma, beta, wqkv, bqkv, wproj, bproj, bias,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((c,), lambda i, r: (0,),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_heads, n, n), lambda i, r: (0, 0, 0),
+            pl.BlockSpec((ng, n, g * n), lambda i, r: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             # shift-mask windows are row-major: grid step rr covers nW ids
             # [rr*r*cols, (rr+1)*r*cols); unshifted passes zeros
@@ -152,12 +206,19 @@ def window_mhsa_fused(x, gamma, beta, wqkv, bqkv, wproj, bproj, bias,
                          (lambda i, rr: (rr, 0, 0)) if use_mask
                          else (lambda i, rr: (0, 0, 0)),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((g * n, g * hd), lambda i, r: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g * n, g), lambda i, r: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, g * n), lambda i, r: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, r * w, wp, c),
                                lambda i, rr: (i, rr, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=jax.default_backend() != "tpu",
-    )(x, gamma, beta, wqkv, bqkv, wproj, bproj, bias, mask)
+    )(x, gamma, beta, wqkv, bqkv, wproj, bproj, biasp, mask, kmask,
+      sum_mat, exp_mat)
 
 
 def window_mhsa_reference(x, gamma, beta, wqkv, bqkv, wproj, bproj, bias,

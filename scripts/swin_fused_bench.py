@@ -105,17 +105,74 @@ def run_mlp(name, b, hw, c):
     }), flush=True)
 
 
+def run_block(name, b, hw, c, heads, w=12, shifted=False):
+    """Merged single-kernel block (ops/swin_block) vs the two split
+    kernels run back-to-back (the round-3 shipped configuration)."""
+    from computervision_codes_tpu.models.swin import _shift_attn_mask
+    from computervision_codes_tpu.ops.mlp_block import mlp_block_fused
+    from computervision_codes_tpu.ops.swin_block import (swin_block_fused,
+                                                         swin_block_reference)
+
+    rng = jax.random.PRNGKey(2)
+    n = w * w
+    x = jax.random.normal(rng, (b, hw, hw, c), jnp.bfloat16)
+    f = lambda *s: (jax.random.normal(rng, s) * (s[0] ** -0.5)).astype(
+        jnp.bfloat16)
+    attn = (jnp.ones((c,), jnp.float32), jnp.zeros((c,), jnp.float32) + .01,
+            f(c, 3 * c), f(3 * c), f(c, c), f(c))
+    table = jax.random.normal(rng, ((2 * w - 1) ** 2, heads)) * 0.02
+    idx = _relative_position_index(w).reshape(-1)
+    bias = table[idx].reshape(n, n, heads).transpose(2, 0, 1).astype(
+        jnp.bfloat16)
+    mask = jnp.asarray(_shift_attn_mask(hw, hw, w, w // 2)) if shifted \
+        else None
+    mlp = (jnp.ones((c,), jnp.float32), jnp.zeros((c,), jnp.float32) + .01,
+           f(c, 4 * c), f(4 * c), f(4 * c, c), f(c))
+    kw = dict(window=w, num_heads=heads)
+
+    @jax.jit
+    def parity(x):
+        got = swin_block_fused(x, *attn, bias, mask, *mlp, **kw)
+        want = swin_block_reference(x, *attn, bias, mask, *mlp, **kw)
+        return jnp.max(jnp.abs(got.astype(jnp.float32)
+                               - want.astype(jnp.float32)))
+
+    err = float(parity(x))
+    s = timed_scan(lambda x: swin_block_fused(
+        x, *attn, bias, mask, *mlp, **kw).astype(jnp.float32).mean(), (x,))
+
+    def split(x):
+        y = window_mhsa_fused(x, *attn, bias, mask, **kw)
+        return mlp_block_fused(y, *mlp)
+
+    s_split = timed_scan(lambda x: split(x).astype(jnp.float32).mean(), (x,))
+    print(json.dumps({
+        "metric": f"merged Swin block {name}"
+                  f"{' shifted' if shifted else ''}",
+        "max_abs_err": round(err, 5),
+        "merged_ms": round(s * 1e3, 3),
+        "split_ms": round(s_split * 1e3, 3),
+        "speedup": round(s_split / s, 2),
+    }), flush=True)
+
+
 def main():
     b = 16
-    run_stage("stage1 (96^2, c=192, h=6)", b, 96, 192, 6)
-    run_stage("stage1 (96^2, c=192, h=6)", b, 96, 192, 6, shifted=True)
-    run_stage("stage2 (48^2, c=384, h=12)", b, 48, 384, 12)
-    run_stage("stage2 (48^2, c=384, h=12)", b, 48, 384, 12, shifted=True)
-    run_stage("stage3 (24^2, c=768, h=24)", b, 24, 768, 24)
-    run_stage("stage3 (24^2, c=768, h=24)", b, 24, 768, 24, shifted=True)
-    run_mlp("stage1 (96^2, c=192)", b, 96, 192)
-    run_mlp("stage2 (48^2, c=384)", b, 48, 384)
-    run_mlp("stage3 (24^2, c=768)", b, 24, 768)
+    if "--merged_only" not in sys.argv:
+        run_stage("stage1 (96^2, c=192, h=6)", b, 96, 192, 6)
+        run_stage("stage1 (96^2, c=192, h=6)", b, 96, 192, 6, shifted=True)
+        run_stage("stage2 (48^2, c=384, h=12)", b, 48, 384, 12)
+        run_stage("stage2 (48^2, c=384, h=12)", b, 48, 384, 12, shifted=True)
+        run_stage("stage3 (24^2, c=768, h=24)", b, 24, 768, 24)
+        run_stage("stage3 (24^2, c=768, h=24)", b, 24, 768, 24, shifted=True)
+        run_mlp("stage1 (96^2, c=192)", b, 96, 192)
+        run_mlp("stage2 (48^2, c=384)", b, 48, 384)
+        run_mlp("stage3 (24^2, c=768)", b, 24, 768)
+    run_block("stage1 (96^2, c=192, h=6)", b, 96, 192, 6)
+    run_block("stage1 (96^2, c=192, h=6)", b, 96, 192, 6, shifted=True)
+    run_block("stage2 (48^2, c=384, h=12)", b, 48, 384, 12)
+    run_block("stage3 (24^2, c=768, h=24)", b, 24, 768, 24)
+    run_block("stage3 (24^2, c=768, h=24)", b, 24, 768, 24, shifted=True)
 
 
 if __name__ == "__main__":

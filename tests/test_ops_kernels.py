@@ -220,6 +220,34 @@ def test_window_mhsa_fused_matches_reference(rng):
                                        atol=2e-5)
 
 
+def test_swin_block_fused_matches_reference(rng):
+    """Merged single-kernel Swin block (ops/swin_block: attn + MLP halves,
+    attention parked in VMEM scratch across the hidden-chunk grid axis)
+    vs the chained XLA references, with/without shift mask and chunking."""
+    import jax.numpy as jnp
+
+    from computervision_codes_tpu.models.swin import _shift_attn_mask
+    from computervision_codes_tpu.ops.swin_block import (
+        swin_block_fused,
+        swin_block_reference,
+    )
+
+    b, hw, c, heads, w = 2, 8, 32, 4, 4
+    f = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.1, jnp.float32)
+    x = f(b, hw, hw, c)
+    attn = (f(c) + 1, f(c), f(c, 3 * c), f(3 * c), f(c, c), f(c),
+            f(heads, 16, 16))
+    mlp = (f(c) + 1, f(c), f(c, 4 * c), f(4 * c), f(4 * c, c), f(c))
+    for mask in (None, jnp.asarray(_shift_attn_mask(hw, hw, w, 2))):
+        want = swin_block_reference(x, *attn, mask, *mlp, window=w,
+                                    num_heads=heads)
+        for hc in (0, 64):
+            got = swin_block_fused(x, *attn, mask, *mlp, window=w,
+                                   num_heads=heads, hidden_chunk=hc)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=2e-5)
+
+
 def test_mlp_block_fused_matches_reference(rng):
     """Fused LN+mlp+residual half-block (ops/mlp_block) vs XLA, including
     the hidden-chunked accumulation path and the erf-GELU approximation."""
