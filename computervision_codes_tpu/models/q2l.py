@@ -160,6 +160,8 @@ class Q2L(nn.Module):
     drop_path_rate: float = 0.1
     remat: bool = False  # rematerialize Swin blocks — SwinL-384 training
     # at useful batch sizes needs it on one chip (see scripts/train_bench)
+    quant_eval: bool = False  # int8-MXU GEMMs in the Swin fused kernels
+    # (PTQ, dims >= 768) — the int8 teacher serving config
     dtype: jnp.dtype = jnp.float32
 
     def _tasks(self):
@@ -181,6 +183,7 @@ class Q2L(nn.Module):
             bb = SwinTransformer(num_classes=0,
                                  drop_path_rate=self.drop_path_rate,
                                  remat=self.remat,
+                                 quant_eval=self.quant_eval,
                                  dtype=self.dtype, name="backbone",
                                  **SWIN_VARIANTS[self.backbone])
             fmap = bb(images, train=train)["feature_map"]

@@ -155,6 +155,12 @@ class SwinBlock(nn.Module):
     # fused_split: run the two half-block kernels instead of the merged
     # single-kernel block (ops/swin_block) — kept for A/B benching
     fused_split: bool = False
+    # quant_eval: int8-MXU GEMMs inside the fused kernels (per-channel
+    # int8 weights x dynamic activation scales) where measured faster
+    # (dims >= quant_min_dim, scripts/int8_kernel_probe.py) — PTQ
+    # accuracy, opt-in
+    quant_eval: bool = False
+    quant_min_dim: int = 768
     dtype: jnp.dtype = jnp.float32
 
     def _fused_full_block(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -225,7 +231,8 @@ class SwinBlock(nn.Module):
             p["attn"]["qkv"]["bias"].astype(self.dtype),
             p["attn"]["proj"]["kernel"].astype(self.dtype),
             p["attn"]["proj"]["bias"].astype(self.dtype),
-            bias, mask, window=w, num_heads=h)
+            bias, mask, window=w, num_heads=h,
+            quant=self.quant_eval and self.dim >= self.quant_min_dim)
         if shift:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
         return x
@@ -242,7 +249,8 @@ class SwinBlock(nn.Module):
             mp["Dense_0"]["kernel"].astype(self.dtype),
             mp["Dense_0"]["bias"].astype(self.dtype),
             mp["Dense_1"]["kernel"].astype(self.dtype),
-            mp["Dense_1"]["bias"].astype(self.dtype))
+            mp["Dense_1"]["bias"].astype(self.dtype),
+            quant=self.quant_eval and self.dim >= self.quant_min_dim)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -343,6 +351,9 @@ class SwinTransformer(nn.Module):
     fused_eval: Optional[bool] = None  # fused half-block kernels (SwinBlock)
     fused_split: bool = False  # split half-block kernels instead of the
     # merged single-kernel block — A/B benching only
+    quant_eval: bool = False  # int8-MXU GEMMs in the fused kernels where
+    # measured faster (stage dims >= quant_min_dim) — PTQ accuracy, opt-in
+    quant_min_dim: int = 768
     num_classes: int = 0  # 0 = headless (Q2L strips the head)
     remat: bool = False  # rematerialize blocks (jax.checkpoint) — trades
     # FLOPs for HBM so SwinL-384 trains on one chip at useful batch sizes
@@ -375,6 +386,8 @@ class SwinTransformer(nn.Module):
                               fused_block=self.fused_block,
                               fused_eval=self.fused_eval,
                               fused_split=self.fused_split,
+                              quant_eval=self.quant_eval,
+                              quant_min_dim=self.quant_min_dim,
                               dtype=self.dtype,
                               name=f"stage{si}_block{d}")(x, det)
                 bi += 1

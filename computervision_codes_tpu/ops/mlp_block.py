@@ -45,8 +45,32 @@ def _gelu_exact(x):
     return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
 
 
+def q8_weight(w, axis: int = 0):
+    """Per-output-channel symmetric int8 weight quant: returns (wq int8,
+    scale f32 (1, n)). ``axis`` is the contraction axis of ``w``."""
+    a = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=axis, keepdims=True)
+    scale = jnp.maximum(a, 1e-30) / 127.0
+    wq = jnp.round(w.astype(jnp.float32) / scale).astype(jnp.int8)
+    return wq, scale.astype(jnp.float32)
+
+
+def q8_dot(x, wq, wscale):
+    """In-kernel int8 GEMM with dynamic per-block activation quant.
+
+    x f32 (m, k); wq int8 (k, n); wscale f32 (1, n). One absmax scalar per
+    token block (the probe's winning scheme, scripts/int8_kernel_probe.py):
+    quantize is VPU-register work, the int8 MXU runs at double rate, and
+    the int32->f32 dequant fuses into the epilogue. Returns f32 (m, n).
+    """
+    amax = jnp.max(jnp.abs(x)) + 1e-6
+    q = jnp.round(x * (127.0 / amax)).astype(jnp.int8)
+    acc = jax.lax.dot_general(q, wq, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * ((amax / 127.0) * wscale)
+
+
 def _kernel(x_ref, gamma_ref, beta_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-            o_ref):
+            s1_ref, s2_ref, o_ref, *, quant):
     j = pl.program_id(1)
     x = x_ref[...]
     xf = x.astype(jnp.float32)
@@ -54,13 +78,19 @@ def _kernel(x_ref, gamma_ref, beta_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
     normed = (xf - mu) * jax.lax.rsqrt(var + 1e-5)
     normed = (normed * gamma_ref[0].astype(jnp.float32)
-              + beta_ref[0].astype(jnp.float32)).astype(x.dtype)
-    h = jax.lax.dot_general(normed, w1_ref[...], (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    h = h + b1_ref[0].astype(jnp.float32)
-    h = _gelu_exact(h).astype(x.dtype)
-    o = jax.lax.dot_general(h, w2_ref[...], (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+              + beta_ref[0].astype(jnp.float32))
+    if quant:
+        h = _gelu_exact(q8_dot(normed, w1_ref[...], s1_ref[...])
+                        + b1_ref[0].astype(jnp.float32))
+        o = q8_dot(h, w2_ref[...], s2_ref[...])
+    else:
+        normed = normed.astype(x.dtype)
+        h = jax.lax.dot_general(normed, w1_ref[...], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        h = h + b1_ref[0].astype(jnp.float32)
+        h = _gelu_exact(h).astype(x.dtype)
+        o = jax.lax.dot_general(h, w2_ref[...], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
 
     @pl.when(j == 0)
     def _():
@@ -74,12 +104,20 @@ def _kernel(x_ref, gamma_ref, beta_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("block_tokens",
-                                             "hidden_chunk"))
+                                             "hidden_chunk", "quant"))
 def mlp_block_fused(x, gamma, beta, w1, b1, w2, b2,
-                    block_tokens: int = 1024, hidden_chunk: int = 1024):
+                    block_tokens: int = 1024, hidden_chunk: int = 0,
+                    quant: bool = False):
     """x (..., C) -> x + mlp(LN(x)), fused. Leading dims are flattened;
     the largest power-of-two block <= block_tokens dividing T is used,
-    ditto hidden_chunk vs the hidden width."""
+    ditto hidden_chunk vs the hidden width.
+
+    ``quant`` runs both GEMMs on the int8 MXU path: per-output-channel
+    int8 weights (quantized here at trace time — loop-invariant, so XLA
+    hoists it out of scan loops) x dynamic per-token-block activation
+    scales (q8_dot). Measured 1.2-1.5x on SwinL stage-3/4 chunk shapes;
+    accuracy is PTQ-grade (opt-in via SwinTransformer(quant_eval=True)).
+    """
     shape = x.shape
     c = shape[-1]
     hidden = w1.shape[1]
@@ -87,22 +125,47 @@ def mlp_block_fused(x, gamma, beta, w1, b1, w2, b2,
     for d in shape[:-1]:
         t *= d
     xf = x.reshape(t, c)
+    # explicit block_tokens/hidden_chunk are honored as given (bench
+    # sweeps); the auto path sizes against Mosaic's 16 MiB scoped budget
+    auto = block_tokens == 1024 and hidden_chunk == 0
     blk = block_tokens
+    if auto and quant:
+        # on-chip sweep (scripts/int8_kernel_probe + /tmp q8 sweep, b=16):
+        # int8 wants blk=512 and the FULL hidden width per step — hidden-
+        # chunked weight re-DMA costs int8 more than it saves (0.315 vs
+        # 0.446 ms at stage 3; 0.222 vs 0.398 at stage 4). Un-chunked
+        # weight blocks are grid-invariant, so Mosaic does not
+        # double-buffer them and even stage 4's 18.9 MB pair compiles.
+        blk = 512
     while t % blk:
         blk //= 2
-    hc = hidden_chunk
+    # hidden_chunk 0 = auto: bf16 chunks at 1024; int8 runs un-chunked
+    hc = hidden_chunk or (hidden if quant else 1024)
     while hidden % hc:
         hc //= 2
-    # crude VMEM model (empirically calibrated: blk=1024, hc=1024, c=768
-    # measured 16.38 MiB): stay under Mosaic's 16 MiB scoped budget
-    while blk > 128 and (blk * c * 12 + blk * hc * 6 + c * hc * 4
-                         ) > 13 * 2 ** 20:
-        if blk >= hc:
-            blk //= 2
-        else:
+    if auto and not quant:
+        # empirical VMEM model, calibrated on two measured allocations
+        # (blk1024/hc1024/c768 = 16.38 MiB; blk256/hc1024/c1536 = 16.59
+        # MiB): x-side blocks ~12 B/elem, hidden intermediates ~2 B/elem,
+        # weight blocks ~8 B/elem (bf16 x2 matrices x2 double-buffering).
+        # 15 MiB budget leaves margin for the borderline stage-4 case.
+        while blk > 128 and (blk * c * 12 + blk * hc * 2 + c * hc * 8
+                             ) > 15 * 2 ** 20:
+            if blk >= hc:
+                blk //= 2
+            else:
+                hc //= 2
+        while hc > 256 and (blk * c * 12 + blk * hc * 2 + c * hc * 8
+                            ) > 15 * 2 ** 20:
             hc //= 2
+    if quant:
+        w1, s1 = q8_weight(w1)
+        w2, s2 = q8_weight(w2)
+    else:
+        s1 = jnp.zeros((1, hc), jnp.float32)
+        s2 = jnp.zeros((1, c), jnp.float32)
     out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, quant=quant),
         out_shape=jax.ShapeDtypeStruct((t, c), x.dtype),
         # hidden chunks iterate fastest so each output block accumulates
         # in place before the next token block arrives
@@ -122,12 +185,17 @@ def mlp_block_fused(x, gamma, beta, w1, b1, w2, b2,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hc), (lambda i, j: (0, j)) if quant
+                         else (lambda i, j: (0, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((blk, c), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=jax.default_backend() != "tpu",
     )(xf, gamma.reshape(1, c), beta.reshape(1, c),
-      w1, b1.reshape(1, hidden), w2, b2.reshape(1, c))
+      w1, b1.reshape(1, hidden), w2, b2.reshape(1, c), s1, s2)
     return out.reshape(shape)
 
 

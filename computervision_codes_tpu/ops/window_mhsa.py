@@ -65,8 +65,10 @@ def _group_size(num_heads: int, head_dim: int) -> int:
 
 def _kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, bqkv_ref, wproj_ref,
             bproj_ref, biasp_ref, mask_ref, kmask_ref, sum_ref, exp_ref,
-            o_ref, *, window, num_heads, cols, use_mask, rows_per_step,
-            group):
+            sqkv_ref, sproj_ref, o_ref, *, window, num_heads, cols,
+            use_mask, rows_per_step, group, quant):
+    from .mlp_block import q8_dot
+
     w = window
     n = w * w
     c = x_ref.shape[-1]
@@ -82,11 +84,14 @@ def _kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, bqkv_ref, wproj_ref,
     var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
     normed = (xf - mu) * jax.lax.rsqrt(var + 1e-5)
     normed = (normed * gamma_ref[...].astype(jnp.float32)
-              + beta_ref[...].astype(jnp.float32)).astype(x_ref.dtype)
+              + beta_ref[...].astype(jnp.float32))
 
-    qkv = jax.lax.dot_general(
-        normed, wqkv_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    if quant:
+        qkv = q8_dot(normed, wqkv_ref[...], sqkv_ref[...])
+    else:
+        qkv = jax.lax.dot_general(
+            normed.astype(x_ref.dtype), wqkv_ref[...],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     qkv = (qkv + bqkv_ref[...].astype(jnp.float32)).astype(x_ref.dtype)
     qkv = qkv.reshape(rows_per_step, w, wp, 3 * c)
 
@@ -124,9 +129,13 @@ def _kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, bqkv_ref, wproj_ref,
                     p, vbig, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32).astype(x_ref.dtype))
             o = outs[0] if ng == 1 else jnp.concatenate(outs, axis=-1)
-            o = jax.lax.dot_general(
-                o, wproj_ref[...], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            if quant:
+                o = q8_dot(o.astype(jnp.float32), wproj_ref[...],
+                           sproj_ref[...])
+            else:
+                o = jax.lax.dot_general(
+                    o, wproj_ref[...], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
             o = (o + bproj_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
             # residual in the model dtype (matches the module's bf16 add)
             res = rows[r * w:(r + 1) * w, j * w:(j + 1) * w, :].reshape(n, c)
@@ -135,17 +144,23 @@ def _kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, bqkv_ref, wproj_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("window", "num_heads",
-                                             "rows_per_step"))
+                                             "rows_per_step", "quant"))
 def window_mhsa_fused(x, gamma, beta, wqkv, bqkv, wproj, bproj, bias,
                       mask, *, window: int, num_heads: int,
-                      rows_per_step: int = 1):
+                      rows_per_step: int = 1, quant: bool = False):
     """x (B, Hp, Wp, C) -> x + proj(attn(LN(x))) with windowed attention.
 
     ``bias`` (H, N, N) relative-position bias; ``mask`` (nW, N, N) additive
     shift mask or None. Hp, Wp must be multiples of ``window`` (the module
     falls back to XLA otherwise). ``rows_per_step`` window-rows are
     processed per grid step (must divide Hp/window).
+
+    ``quant`` runs the QKV and output projections on the int8 MXU path
+    (per-channel int8 weights x dynamic per-row-strip activation scales,
+    ops/mlp_block.q8_dot — measured 2.7x on the stage-3 QKV GEMM); the
+    attention core stays bf16.
     """
+    from .mlp_block import q8_weight
     b, hp, wp, c = x.shape
     w = window
     n = w * w
@@ -176,9 +191,16 @@ def window_mhsa_fused(x, gamma, beta, wqkv, bqkv, wproj, bproj, bias,
     sum_mat = jnp.asarray(sm)
     exp_mat = jnp.asarray(em)
 
+    if quant:
+        wqkv, sqkv = q8_weight(wqkv)
+        wproj, sproj = q8_weight(wproj)
+    else:
+        sqkv = jnp.zeros((1, 3 * c), jnp.float32)
+        sproj = jnp.zeros((1, c), jnp.float32)
+
     kernel = functools.partial(_kernel, window=w, num_heads=num_heads,
                                cols=cols, use_mask=use_mask,
-                               rows_per_step=r, group=g)
+                               rows_per_step=r, group=g, quant=quant)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
@@ -212,13 +234,17 @@ def window_mhsa_fused(x, gamma, beta, wqkv, bqkv, wproj, bproj, bias,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((g, g * n), lambda i, r: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * c), lambda i, r: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, r: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, r * w, wp, c),
                                lambda i, rr: (i, rr, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=jax.default_backend() != "tpu",
     )(x, gamma, beta, wqkv, bqkv, wproj, bproj, biasp, mask, kmask,
-      sum_mat, exp_mat)
+      sum_mat, exp_mat, sqkv, sproj)
 
 
 def window_mhsa_reference(x, gamma, beta, wqkv, bqkv, wproj, bproj, bias,

@@ -98,11 +98,23 @@ def run(name, m, k, n, blk=None):
 
 
 def main():
+    # stage-3 MLP at the ACTUAL fused-kernel chunk shapes: per grid step
+    # GEMM1 (1024, 768)@(768, 1024-chunk), GEMM2 (1024, 1024)@(1024, 768)
+    run("MLP1 s3 chunk (1152x768x1024)", 9216, 768, 1024, blk=1152)
+    run("MLP2 s3 chunk (1152x1024x768)", 9216, 1024, 768, blk=1152)
     # stage-3 MLP halves at the fused kernel's token blocking
     run("MLP1 s3 (9216x768x3072)", 9216, 768, 3072, blk=512)
     run("MLP2 s3 (9216x3072x768)", 9216, 3072, 768, blk=512)
     # stage-3 QKV projection at the merged-kernel row-strip blocking
     run("QKV s3 (288x768x2304)", 9216, 768, 2304, blk=288)
+    run("proj s3 (288x768x768)", 9216, 768, 768, blk=288)
+    # stage-2 shapes (row strip = 576 tokens, c=384)
+    run("QKV s2 (576x384x1152)", 36864, 384, 1152, blk=576)
+    run("MLP1 s2 chunk (1152x384x1024)", 36864, 384, 1024, blk=1152)
+    run("MLP2 s2 chunk (1152x1024x384)", 36864, 1024, 384, blk=1152)
+    # stage-4 MLP chunks (c=1536, hidden 6144 chunked at 1024)
+    run("MLP1 s4 chunk (1152x1536x1024)", 2304, 1536, 1024, blk=1152)
+    run("MLP2 s4 chunk (1152x1024x1536)", 2304, 1024, 1536, blk=1152)
     # stage-1 QKV (row strip = 1152 tokens)
     run("QKV s1 (1152x192x576)", 9216, 192, 576, blk=1152)
 

@@ -275,6 +275,95 @@ def test_mlp_block_fused_matches_reference(rng):
                                    atol=2e-5, err_msg=f"bt={bt} hc={hc}")
 
 
+def test_mlp_block_fused_quant_matches_emulation(rng):
+    """mlp_block_fused(quant=True) == a jnp emulation of the exact same
+    int8 math (per-channel weight quant via q8_weight + one dynamic
+    activation scale per token block), plus loose drift vs float."""
+    import jax
+    import jax.numpy as jnp
+
+    from computervision_codes_tpu.ops.mlp_block import (
+        _gelu_exact,
+        mlp_block_fused,
+        mlp_block_reference,
+        q8_dot,
+        q8_weight,
+    )
+
+    t, c = 64, 32
+    x = jnp.asarray(rng.standard_normal((t, c)), jnp.float32)
+    gamma = jnp.asarray(1 + 0.1 * rng.standard_normal(c), jnp.float32)
+    beta = jnp.asarray(0.1 * rng.standard_normal(c), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((c, 4 * c)) * 0.2, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal(4 * c) * 0.01, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((4 * c, c)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal(c) * 0.01, jnp.float32)
+
+    got = mlp_block_fused(x, gamma, beta, w1, b1, w2, b2, quant=True)
+
+    # emulation: t <= block_tokens, so ONE token block = one act scale
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    normed = (xf - mu) * jax.lax.rsqrt(var + 1e-5) * gamma + beta
+    w1q, s1 = q8_weight(w1)
+    w2q, s2 = q8_weight(w2)
+    h = _gelu_exact(q8_dot(normed, w1q, s1) + b1)
+    want = x + (q8_dot(h, w2q, s2) + b2).astype(x.dtype)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+    # and the PTQ noise vs the float path stays small
+    ref = mlp_block_reference(x, gamma, beta, w1, b1, w2, b2)
+    drift = np.max(np.abs(np.asarray(got) - np.asarray(ref)))
+    assert drift < 0.15, drift
+
+
+def test_window_mhsa_fused_quant_drift(rng):
+    """window_mhsa_fused(quant=True): int8 QKV/proj projections drift
+    only PTQ-noise from the float reference; attention core unchanged."""
+    import jax.numpy as jnp
+
+    from computervision_codes_tpu.ops.window_mhsa import (
+        window_mhsa_fused,
+        window_mhsa_reference,
+    )
+
+    b, hw, c, heads, w = 2, 8, 32, 4, 4
+    n = w * w
+    f = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.1, jnp.float32)
+    x = f(b, hw, hw, c)
+    args = (f(c) + 1, f(c), f(c, 3 * c), f(3 * c), f(c, c), f(c),
+            f(heads, n, n))
+    want = window_mhsa_reference(x, *args, None, window=w, num_heads=heads)
+    got = window_mhsa_fused(x, *args, None, window=w, num_heads=heads,
+                            quant=True)
+    drift = np.max(np.abs(np.asarray(got) - np.asarray(want)))
+    assert drift < 0.05, drift
+
+
+def test_swin_quant_eval_drift(rng):
+    """SwinTransformer(quant_eval=True) end-to-end: same param tree, PTQ-
+    grade drift on features (the int8 teacher serving config)."""
+    import jax
+    import jax.numpy as jnp
+
+    from computervision_codes_tpu.models.swin import (SwinTransformer,
+                                                      VARIANTS)
+
+    cfg = VARIANTS["swin_nano_64"]
+    m_x = SwinTransformer(fused_eval=False, dtype=jnp.float32, **cfg)
+    m_q = SwinTransformer(fused_eval=True, fused_split=True,
+                          quant_eval=True, quant_min_dim=0,
+                          dtype=jnp.float32, **cfg)
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)), jnp.float32)
+    v = m_x.init(jax.random.PRNGKey(1), x)
+    a = m_x.apply(v, x)
+    b = m_q.apply(v, x)
+    err = np.max(np.abs(np.asarray(a["pooled"]) - np.asarray(b["pooled"])))
+    rel = err / (np.max(np.abs(np.asarray(a["pooled"]))) + 1e-9)
+    assert rel < 0.15, (err, rel)
+
+
 def test_swin_fused_eval_matches_xla_model(rng):
     """SwinTransformer(fused_eval=True) forward == the XLA path on the
     same params (the production TPU eval path, CPU interpret here)."""
