@@ -43,6 +43,11 @@ def parse_flags(argv: Optional[Sequence[str]] = None):
     p.add_argument("--teacher_pred_version", type=str, default="Res18TCN")
     p.add_argument("--break_after_first_epoch", action="store_true",
                    help="reproduce the reference's epoch-0 break quirk")
+    p.add_argument("--quant_eval", action="store_true",
+                   help="int8-MXU GEMMs in the Swin fused kernels for the "
+                        "eval/dump passes (PTQ — training stays bf16/f32)")
+    p.add_argument("--quant_min_dim", type=int, default=768,
+                   help="smallest stage dim quantized by --quant_eval")
     flags, _ = p.parse_known_args(argv)
     return flags
 
@@ -70,6 +75,12 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
 
     model = Q2L(backbone=flags.backbone, loss_type=flags.loss_type,
                 teacher_dim=flags.teacher_dim, dtype=dtype)
+    # eval/dump may run the int8 serving path; the TRAIN model/params are
+    # shared (quant_eval only changes fused-kernel execution, not the tree)
+    eval_model = Q2L(backbone=flags.backbone, loss_type=flags.loss_type,
+                     teacher_dim=flags.teacher_dim, dtype=dtype,
+                     quant_eval=True, quant_min_dim=flags.quant_min_dim) \
+        if flags.quant_eval else model
     steps_per_epoch = max(1, len(dataset.frame_index(split.train)) // flags.batch)
     sched = reference_warmup_exp_schedule(
         flags.initial_learning_rates[2], flags.power, flags.warmups[2],
@@ -88,7 +99,7 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
                    "t": TARGET_POS_WEIGHT}
     train_step = make_spatial_train_step(model, flags.loss_type, flags.rates,
                                          flags.temp, pos_weights)
-    eval_step = make_spatial_eval_step(model)
+    eval_step = make_spatial_eval_step(eval_model)
 
     def run_batch(images):
         return eval_step(state, jnp.asarray(images))

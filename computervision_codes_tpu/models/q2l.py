@@ -161,7 +161,10 @@ class Q2L(nn.Module):
     remat: bool = False  # rematerialize Swin blocks — SwinL-384 training
     # at useful batch sizes needs it on one chip (see scripts/train_bench)
     quant_eval: bool = False  # int8-MXU GEMMs in the Swin fused kernels
-    # (PTQ, dims >= 768) — the int8 teacher serving config
+    # (PTQ, dims >= quant_min_dim) — the int8 teacher serving config
+    quant_min_dim: int = 768
+    fused_eval: Optional[bool] = None  # None = auto (fused Pallas kernels
+    # on TPU eval); True forces them (CPU interpret — parity tests)
     dtype: jnp.dtype = jnp.float32
 
     def _tasks(self):
@@ -184,6 +187,8 @@ class Q2L(nn.Module):
                                  drop_path_rate=self.drop_path_rate,
                                  remat=self.remat,
                                  quant_eval=self.quant_eval,
+                                 quant_min_dim=self.quant_min_dim,
+                                 fused_eval=self.fused_eval,
                                  dtype=self.dtype, name="backbone",
                                  **SWIN_VARIANTS[self.backbone])
             fmap = bb(images, train=train)["feature_map"]

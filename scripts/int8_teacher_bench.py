@@ -74,6 +74,22 @@ def main(batch=16):
                           "per_step_ms": round(ms_q * 1e3, 2),
                           "speedup_vs_bf16": round(fps_q / fps_f, 3)}))
 
+    # the round-3 serving config: in-kernel int8 GEMMs inside the fused
+    # Swin kernels (quant_eval — stage 3/4) STACKED with the dense
+    # interception for everything the fused kernels don't cover (decoder
+    # FFN-8192, stage-4 XLA attention, patch merges)
+    qmodel = Q2L(backbone="swin_L_384_22k", loss_type="i",
+                 dtype=jnp.bfloat16, quant_eval=True)
+    fps_s, ms_s = timed(
+        lambda v, q, x, e: int8_apply(
+            qmodel, v, q, scales, x + e, min_features=512
+        )["logits"]["i"].astype(jnp.float32).mean(),
+        (variables, qd, imgs, eps), frames=batch)
+    print(json.dumps({"path": "int8 stacked (quant_eval + dense>=512)",
+                      "fps": round(fps_s, 1),
+                      "per_step_ms": round(ms_s * 1e3, 2),
+                      "speedup_vs_bf16": round(fps_s / fps_f, 3)}))
+
 
 if __name__ == "__main__":
     main()
