@@ -30,22 +30,33 @@ from ..ops.quant import fold_bn, quantize_weight, quantized_conv_bn
 from .resnet import VARIANTS, BasicBlock
 
 
-def _qconv(conv_p: Dict, bn_p: Dict, bn_s: Dict, eps: float = 1e-5) -> Dict:
+def _qconv(conv_p: Dict, bn_p: Dict, bn_s: Dict, eps: float = 1e-5,
+           quant: bool = True) -> Dict:
+    bn = {"scale": bn_p["scale"], "bias": bn_p["bias"],
+          "mean": bn_s["mean"], "var": bn_s["var"]}
+    if not quant:
+        # BN folded into FLOAT weights (the stem config — int8 is slower
+        # there, see ops/quant.quantized_conv_bn)
+        mult, bias = fold_bn(jnp.ones_like(bn_p["scale"]), bn, eps)
+        return {"w": conv_p["kernel"] * mult, "bias": bias}
     w_q, s_w = quantize_weight(conv_p["kernel"])
-    mult, bias = fold_bn(
-        s_w, {"scale": bn_p["scale"], "bias": bn_p["bias"],
-              "mean": bn_s["mean"], "var": bn_s["var"]}, eps)
+    mult, bias = fold_bn(s_w, bn, eps)
     return {"w_q": w_q, "mult": mult, "bias": bias}
 
 
-def quantize_resnet(params: Dict, batch_stats: Dict) -> Dict:
+def quantize_resnet(params: Dict, batch_stats: Dict,
+                    float_stem: bool = True) -> Dict:
     """Fold every (conv, bn) pair of a ResNet param tree into int8 form.
 
     Works for BasicBlock and Bottleneck trees: walks `conv1/bn1`,
     `layer{s}_{b}` with conv1..3/bn1..3 and downsample_{conv,bn}.
+    ``float_stem`` keeps the 7x7 stem as a BN-folded bf16 conv — int8 is
+    measurably SLOWER at its K=147, C_in=3 geometry (docs/BENCH.md stem
+    roofline) and skipping it removes the biggest PTQ noise source.
     """
     out: Dict = {"conv1": _qconv(params["conv1"], params["bn1"],
-                                 batch_stats["bn1"])}
+                                 batch_stats["bn1"],
+                                 quant=not float_stem)}
     for name in params:
         if not name.startswith("layer"):
             continue
@@ -116,8 +127,9 @@ def quantized_resnet_apply(qp: Dict, x: jnp.ndarray,
 
 def _conv_call_order(qp: Dict, stage_sizes: Sequence[int],
                      block: str) -> list:
-    """The qconv dicts in the exact order quantized_resnet_apply hits them."""
-    order = [qp["conv1"]]
+    """The INT8 qconv dicts in the exact order quantized_resnet_apply
+    hits them (float-stem dicts record no activation scale)."""
+    order = [qp["conv1"]] if "w_q" in qp["conv1"] else []
     for si, num_blocks in enumerate(stage_sizes):
         for bi in range(num_blocks):
             q = qp[f"layer{si + 1}_{bi}"]

@@ -74,6 +74,21 @@ def quantized_conv_bn(x: jnp.ndarray, qw: dict, *, stride: int = 1,
     wash e2e: scripts/int8_e2e_bench.py). ``record`` (a list) switches to
     calibration mode: dynamic scales are appended eagerly.
     """
+    if "w" in qw:
+        # BN-folded FLOAT conv (no int8): the ResNet stem's K=147 GEMM is
+        # MXU-hostile and int8 measured SLOWER than bf16 there
+        # (scripts/stem_probe.py: 1.24 vs 0.87 ms/128 frames), so the stem
+        # ships folded-bf16 while the 128ch+ stages go int8
+        acc = jax.lax.conv_general_dilated(
+            x.astype(dtype), qw["w"].astype(dtype), (stride, stride),
+            padding, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        out = acc + qw["bias"][None, None, None, :]
+        if leaky_slope is not None:
+            out = jax.nn.leaky_relu(out, leaky_slope)
+        elif relu:
+            out = jax.nn.relu(out)
+        return out.astype(dtype)
     if record is not None:
         xq, s_act = quantize_activation(x)
         record.append(float(s_act))

@@ -118,8 +118,10 @@ def test_int8_static_scales_track_dynamic(rng):
     fn_d, qv_d = make_int8_e2e(model, variables)
     dyn = jax.jit(fn_d)(qv_d, clips)
     fn_s, qv_s = make_int8_e2e(model, variables, calibrate_clips=clips)
-    # every conv now carries a baked scalar scale
-    assert "act_scale" in qv_s["q_backbone"]["conv1"]
+    # the stem ships as a BN-folded FLOAT conv (int8 is slower there);
+    # every int8 conv now carries a baked scalar scale
+    assert "w" in qv_s["q_backbone"]["conv1"]
+    assert "act_scale" in qv_s["q_backbone"]["layer1_0"]["conv1"]
     sta = jax.jit(fn_s)(qv_s, clips)
     a = np.asarray(dyn["ivt"], np.float64).ravel()
     b = np.asarray(sta["ivt"], np.float64).ravel()

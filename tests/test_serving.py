@@ -44,7 +44,8 @@ def test_inference_session_quantized(rng):
 
     sess = InferenceSession.create(batch=1, clip_len=4, height=32, width=56,
                                    quantize=True)
-    assert "act_scale" in sess.variables["q_backbone"]["conv1"]
+    assert "w" in sess.variables["q_backbone"]["conv1"]  # float stem
+    assert "act_scale" in sess.variables["q_backbone"]["layer1_0"]["conv1"]
     clips = (rng.random((1, 4, 32, 56, 3)) * 255).astype(np.uint8)
     probs = sess.predict(clips)
     assert probs["ivt"].shape == (1, 4, 100)
@@ -99,7 +100,8 @@ def test_streaming_quantized(rng):
     sess = StreamingSession.create(
         context=8, height=32, width=56, quantize=True,
         num_layers_pg=2, num_layers_r=2, num_refinements=1, num_f_maps=8)
-    assert "act_scale" in sess.variables["q_backbone"]["conv1"]
+    assert "w" in sess.variables["q_backbone"]["conv1"]  # float stem
+    assert "act_scale" in sess.variables["q_backbone"]["layer1_0"]["conv1"]
     for _ in range(3):
         probs = sess.push((rng.random((32, 56, 3)) * 255).astype(np.uint8))
     assert probs["ivt"].shape == (100,)
