@@ -328,3 +328,100 @@ class StreamingSession:
         else:
             self.buffer = self.buffer.at[stream].set(0.0)
             self.frames_seen_per_stream[stream] = 0
+
+
+@dataclass
+class TeacherSession:
+    """Fixed-shape compiled Q2L teacher: frames -> task probabilities +
+    the per-frame feature vector (the cached-feature-bus artifact that
+    MT4MTLKD's temporal stages consume).
+
+    Re-designs the eval/feature-dump entry of
+    MT4MTLKD/Spatial_transformer/test.py:143-284 as a serving surface
+    (the reference has none). ``quantize=True`` serves the round-3 int8
+    config — in-kernel int8 GEMMs inside the fused Swin kernels
+    (``Q2L(quant_eval=True)``) stacked with int8 interception of the
+    remaining dense layers (decoder FFN-8192, stage-4 attention, patch
+    merges): 420.7 vs 365 fps/chip on SwinL-384 (docs/BENCH.md); trained-
+    checkpoint mAP unchanged (scripts/int8_teacher_accuracy.py).
+    """
+
+    compiled: object
+    variables: dict
+    batch: int
+    height: int
+    width: int
+    tasks: tuple
+
+    @classmethod
+    def create(cls, batch: int = 16, img_size: int = 384,
+               backbone: str = "swin_L_384_22k", loss_type: str = "i",
+               variables: Optional[dict] = None, quantize: bool = False,
+               calibrate_frames=None) -> "TeacherSession":
+        from .models.q2l import Q2L
+
+        model = Q2L(backbone=backbone, loss_type=loss_type,
+                    dtype=jnp.bfloat16, quant_eval=quantize)
+        if variables is None:
+            variables = model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, img_size, img_size, 3), jnp.bfloat16))
+        apply_fn = model.apply
+        if quantize:
+            from .models.quant_dense import (collect_dense_scales,
+                                             int8_apply,
+                                             quantize_dense_params)
+
+            if calibrate_frames is None:
+                calibrate_frames = _default_calibration(
+                    jax.random.PRNGKey(7), (2, img_size, img_size, 3),
+                    jnp.bfloat16)
+            scales = collect_dense_scales(model, variables,
+                                          calibrate_frames)
+            qd = quantize_dense_params(variables)
+
+            def apply_fn(v, x):
+                return int8_apply(model, v, qd, scales, x,
+                                  min_features=512)
+
+        tasks = ("i", "v", "t", "ivt") if loss_type == "all" \
+            else (loss_type,)
+        mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+        std = jnp.asarray(IMAGENET_STD, jnp.float32)
+
+        def forward(v, frames, normalize):
+            x = frames.astype(jnp.float32)
+            if normalize:
+                x = (x / 255.0 - mean) / std
+            out = apply_fn(v, x.astype(jnp.bfloat16))
+            probs = {k: jax.nn.sigmoid(out["logits"][k].astype(jnp.float32))
+                     for k in tasks}
+            probs["feature"] = out["feature"].astype(jnp.float32)
+            return probs
+
+        var_shapes = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), variables)
+        jitted = jax.jit(forward, static_argnums=(2,), donate_argnums=(1,))
+        compiled = {}
+        for dtype, normalize in ((jnp.uint8, True), (jnp.bfloat16, False)):
+            shape = jax.ShapeDtypeStruct(
+                (batch, img_size, img_size, 3), dtype)
+            compiled[normalize] = jitted.lower(var_shapes, shape,
+                                               normalize).compile()
+        return cls(compiled=compiled, variables=variables, batch=batch,
+                   height=img_size, width=img_size, tasks=tasks)
+
+    def predict(self, frames) -> Dict[str, np.ndarray]:
+        """frames (B, H, W, 3) uint8 (device-normalized) or float
+        (pre-normalized) -> {task: (B, C) probabilities, "feature":
+        (B, D) bus features}."""
+        arr = np.asarray(frames)
+        normalize = arr.dtype == np.uint8
+        frames = jnp.asarray(arr, jnp.uint8 if normalize else jnp.bfloat16)
+        if frames.shape != (self.batch, self.height, self.width, 3):
+            raise ValueError(
+                f"session compiled for "
+                f"{(self.batch, self.height, self.width, 3)}, "
+                f"got {frames.shape}")
+        out = self.compiled[normalize](self.variables, frames)
+        return {k: np.asarray(v) for k, v in out.items()}

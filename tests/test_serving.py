@@ -175,3 +175,30 @@ def test_receptive_field_and_context_warning():
         StreamingSession.create(context=16, height=32, width=56,
                                 dtype=jnp.float32, **kw)
     assert not any("receptive field" in str(w.message) for w in caught)
+
+
+def test_teacher_session():
+    """TeacherSession: compiled Q2L teacher serving — uint8 and float
+    inputs, per-task probabilities + bus features, int8 config close."""
+    import pytest
+
+    from computervision_codes_tpu.serving import TeacherSession
+
+    sess = TeacherSession.create(batch=2, img_size=64,
+                                 backbone="swin_nano_64", loss_type="i")
+    rng = np.random.default_rng(3)
+    frames_u8 = rng.integers(0, 256, (2, 64, 64, 3), np.uint8)
+    out = sess.predict(frames_u8)
+    assert out["i"].shape == (2, 6)
+    assert out["feature"].ndim == 2 and out["feature"].shape[0] == 2
+    assert np.all((out["i"] >= 0) & (out["i"] <= 1))
+
+    qsess = TeacherSession.create(batch=2, img_size=64,
+                                  backbone="swin_nano_64", loss_type="i",
+                                  variables=sess.variables, quantize=True)
+    qout = qsess.predict(frames_u8)
+    # int8 dense interception: PTQ-grade drift on probabilities
+    assert np.max(np.abs(qout["i"] - out["i"])) < 0.05
+
+    with pytest.raises(ValueError):
+        sess.predict(np.zeros((1, 64, 64, 3), np.uint8))
