@@ -199,7 +199,8 @@ class SwinBlock(nn.Module):
             mp["Dense_0"]["bias"].astype(self.dtype),
             mp["Dense_1"]["kernel"].astype(self.dtype),
             mp["Dense_1"]["bias"].astype(self.dtype),
-            window=w, num_heads=h)
+            window=w, num_heads=h,
+            quant=self.quant_eval and self.dim >= self.quant_min_dim)
         if shift:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
         return x

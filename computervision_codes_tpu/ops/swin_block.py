@@ -39,7 +39,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .mlp_block import _gelu_exact
+from .mlp_block import _gelu_exact, q8_dot, q8_weight
 from .window_mhsa import _group_size
 
 
@@ -55,7 +55,9 @@ def _ln(x, gamma, beta):
 def _kernel(x_ref, g1_ref, be1_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
             biasp_ref, mask_ref, kmask_ref, sum_ref, exp_ref,
             g2_ref, be2_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-            o_ref, y_scr, *, window, num_heads, cols, use_mask, group):
+            sqkv_ref, sproj_ref, s1_ref, s2_ref,
+            o_ref, y_scr, *, window, num_heads, cols, use_mask, group,
+            quant):
     w = window
     n = w * w
     c = x_ref.shape[-1]
@@ -70,9 +72,13 @@ def _kernel(x_ref, g1_ref, be1_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
         rows = x_ref[0]  # (w, Wp, C)
         wp = rows.shape[1]
         normed = _ln(rows.reshape(w * wp, c), g1_ref[...], be1_ref[...])
-        qkv = jax.lax.dot_general(
-            normed, wqkv_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        if quant:
+            qkv = q8_dot(normed.astype(jnp.float32), wqkv_ref[...],
+                         sqkv_ref[...])
+        else:
+            qkv = jax.lax.dot_general(
+                normed, wqkv_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
         qkv = (qkv + bqkv_ref[...].astype(jnp.float32)).astype(x_ref.dtype)
         qkv = qkv.reshape(w, wp, 3 * c)
         kmask = kmask_ref[...]
@@ -104,20 +110,30 @@ def _kernel(x_ref, g1_ref, be1_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
                     p, vbig, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32).astype(x_ref.dtype))
             o = outs[0] if ng == 1 else jnp.concatenate(outs, axis=-1)
-            o = jax.lax.dot_general(
-                o, wproj_ref[...], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            if quant:
+                o = q8_dot(o.astype(jnp.float32), wproj_ref[...],
+                           sproj_ref[...])
+            else:
+                o = jax.lax.dot_general(
+                    o, wproj_ref[...], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
             o = (o + bproj_ref[...].astype(jnp.float32)).astype(x_ref.dtype)
             res = rows[:, j * w:(j + 1) * w, :].reshape(n, c)
             y_scr[:, j * w:(j + 1) * w, :] = (o + res).reshape(w, w, c)
 
     y = y_scr[...].reshape(-1, c)
     normed = _ln(y, g2_ref[...], be2_ref[...])
-    h = jax.lax.dot_general(normed, w1_ref[...], (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    h = _gelu_exact(h + b1_ref[0].astype(jnp.float32)).astype(y.dtype)
-    o = jax.lax.dot_general(h, w2_ref[...], (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+    if quant:
+        h = _gelu_exact(q8_dot(normed.astype(jnp.float32), w1_ref[...],
+                               s1_ref[...])
+                        + b1_ref[0].astype(jnp.float32))
+        o = q8_dot(h, w2_ref[...], s2_ref[...])
+    else:
+        h = jax.lax.dot_general(normed, w1_ref[...], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        h = _gelu_exact(h + b1_ref[0].astype(jnp.float32)).astype(y.dtype)
+        o = jax.lax.dot_general(h, w2_ref[...], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
 
     wp = x_ref.shape[2]
 
@@ -132,10 +148,11 @@ def _kernel(x_ref, g1_ref, be1_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("window", "num_heads",
-                                             "hidden_chunk"))
+                                             "hidden_chunk", "quant"))
 def swin_block_fused(x, g1, be1, wqkv, bqkv, wproj, bproj, bias, mask,
                      g2, be2, w1, b1, w2, b2, *, window: int,
-                     num_heads: int, hidden_chunk: int = 0):
+                     num_heads: int, hidden_chunk: int = 0,
+                     quant: bool = False):
     """x (B, Hp, Wp, C) -> full Swin block (attn half + MLP half), fused.
 
     ``bias`` (H, N, N) relative-position bias; ``mask`` (nW, N, N) additive
@@ -176,8 +193,20 @@ def swin_block_fused(x, g1, be1, wqkv, bqkv, wproj, bproj, bias, mask,
         sm[h * n:(h + 1) * n, h] = 1.0
         em[h, h * n:(h + 1) * n] = 1.0
 
+    if quant:
+        wqkv, sqkv = q8_weight(wqkv)
+        wproj, sproj = q8_weight(wproj)
+        w1, s1 = q8_weight(w1)
+        w2, s2 = q8_weight(w2)
+    else:
+        sqkv = jnp.zeros((1, 3 * c), jnp.float32)
+        sproj = jnp.zeros((1, c), jnp.float32)
+        s1 = jnp.zeros((1, hc), jnp.float32)
+        s2 = jnp.zeros((1, c), jnp.float32)
+
     kernel = functools.partial(_kernel, window=w, num_heads=num_heads,
-                               cols=cols, use_mask=use_mask, group=g)
+                               cols=cols, use_mask=use_mask, group=g,
+                               quant=quant)
     vec = lambda d: pl.BlockSpec((d,), lambda i, r, h: (0,),
                                  memory_space=pltpu.VMEM)
     fixed = lambda *shape: pl.BlockSpec(
@@ -211,6 +240,11 @@ def swin_block_fused(x, g1, be1, wqkv, bqkv, wproj, bproj, bias, mask,
             pl.BlockSpec((hc, c), lambda i, r, h: (h, 0),
                          memory_space=pltpu.VMEM),
             vec(c),
+            fixed(1, 3 * c), fixed(1, c),
+            pl.BlockSpec((1, hc), (lambda i, r, h: (0, h)) if quant
+                         else (lambda i, r, h: (0, 0)),
+                         memory_space=pltpu.VMEM),
+            fixed(1, c),
         ],
         out_specs=pl.BlockSpec((1, w, wp, c), lambda i, r, h: (i, r, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -218,7 +252,7 @@ def swin_block_fused(x, g1, be1, wqkv, bqkv, wproj, bproj, bias, mask,
         interpret=jax.default_backend() != "tpu",
     )(x, g1, be1, wqkv, bqkv, wproj, bproj, biasp, mask,
       jnp.asarray(km, x.dtype), jnp.asarray(sm), jnp.asarray(em),
-      g2, be2, w1, b1.reshape(1, hidden), w2, b2)
+      g2, be2, w1, b1.reshape(1, hidden), w2, b2, sqkv, sproj, s1, s2)
 
 
 def swin_block_reference(x, g1, be1, wqkv, bqkv, wproj, bproj, bias, mask,

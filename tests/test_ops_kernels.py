@@ -383,3 +383,29 @@ def test_swin_fused_eval_matches_xla_model(rng):
     for k in ("feature_map", "pooled"):
         np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
                                    atol=5e-5)
+
+
+def test_swin_block_fused_quant_drift(rng):
+    """Merged single-kernel Swin block with quant=True: int8 QKV/proj/MLP
+    GEMMs drift only PTQ-noise from the float reference."""
+    import jax.numpy as jnp
+
+    from computervision_codes_tpu.models.swin import _shift_attn_mask
+    from computervision_codes_tpu.ops.swin_block import (
+        swin_block_fused,
+        swin_block_reference,
+    )
+
+    b, hw, c, heads, w = 2, 8, 32, 4, 4
+    f = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.1, jnp.float32)
+    x = f(b, hw, hw, c)
+    attn = (f(c) + 1, f(c), f(c, 3 * c), f(3 * c), f(c, c), f(c),
+            f(heads, 16, 16))
+    mlp = (f(c) + 1, f(c), f(c, 4 * c), f(4 * c), f(4 * c, c), f(c))
+    mask = jnp.asarray(_shift_attn_mask(hw, hw, w, 2))
+    want = swin_block_reference(x, *attn, mask, *mlp, window=w,
+                                num_heads=heads)
+    got = swin_block_fused(x, *attn, mask, *mlp, window=w, num_heads=heads,
+                           quant=True)
+    drift = np.max(np.abs(np.asarray(got) - np.asarray(want)))
+    assert 0 < drift < 0.08, drift
