@@ -409,3 +409,69 @@ def test_swin_block_fused_quant_drift(rng):
                            quant=True)
     drift = np.max(np.abs(np.asarray(got) - np.asarray(want)))
     assert 0 < drift < 0.08, drift
+
+
+def test_window_mhsa_rows_per_step(rng):
+    """rows_per_step > 1 (multiple window-rows per grid step) matches the
+    reference, shifted and not — the probe-only path, pinned on CPU."""
+    import jax.numpy as jnp
+
+    from computervision_codes_tpu.models.swin import _shift_attn_mask
+    from computervision_codes_tpu.ops.window_mhsa import (
+        window_mhsa_fused,
+        window_mhsa_reference,
+    )
+
+    b, hw, c, heads, w = 1, 8, 32, 4, 4
+    f = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.1, jnp.float32)
+    x = f(b, hw, hw, c)
+    args = (f(c) + 1, f(c), f(c, 3 * c), f(3 * c), f(c, c), f(c),
+            f(heads, 16, 16))
+    for mask in (None, jnp.asarray(_shift_attn_mask(hw, hw, w, 2))):
+        want = window_mhsa_reference(x, *args, mask, window=w,
+                                     num_heads=heads)
+        got = window_mhsa_fused(x, *args, mask, window=w, num_heads=heads,
+                                rows_per_step=2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
+
+
+def test_mlp_block_fused_quant_multi_block(rng):
+    """Per-token-block dynamic activation scales: two token blocks get
+    DIFFERENT scales and still match the per-block emulation."""
+    import jax
+    import jax.numpy as jnp
+
+    from computervision_codes_tpu.ops.mlp_block import (
+        _gelu_exact,
+        mlp_block_fused,
+        q8_dot,
+        q8_weight,
+    )
+
+    t, c, blk = 32, 32, 16
+    x = jnp.asarray(rng.standard_normal((t, c)), jnp.float32)
+    x = x.at[blk:].multiply(10.0)  # force distinct per-block absmax
+    gamma = jnp.asarray(1 + 0.1 * rng.standard_normal(c), jnp.float32)
+    beta = jnp.asarray(0.1 * rng.standard_normal(c), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((c, 4 * c)) * 0.2, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal(4 * c) * 0.01, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((4 * c, c)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal(c) * 0.01, jnp.float32)
+
+    got = mlp_block_fused(x, gamma, beta, w1, b1, w2, b2,
+                          block_tokens=blk, hidden_chunk=4 * c, quant=True)
+
+    w1q, s1 = q8_weight(w1)
+    w2q, s2 = q8_weight(w2)
+    outs = []
+    for i in range(t // blk):
+        xb = x[i * blk:(i + 1) * blk]
+        xf = xb.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+        normed = (xf - mu) * jax.lax.rsqrt(var + 1e-5) * gamma + beta
+        h = _gelu_exact(q8_dot(normed, w1q, s1) + b1)
+        outs.append(xb + (q8_dot(h, w2q, s2) + b2).astype(xb.dtype))
+    want = jnp.concatenate(outs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
