@@ -48,6 +48,10 @@ def parse_flags(argv: Optional[Sequence[str]] = None):
                         "eval/dump passes (PTQ — training stays bf16/f32)")
     p.add_argument("--quant_min_dim", type=int, default=768,
                    help="smallest stage dim quantized by --quant_eval")
+    p.add_argument("--fused_train", action="store_true",
+                   help="train forward through the fused Pallas Swin "
+                        "kernels (reference-autodiff backward — same "
+                        "gradients, faster step; ops/swin_train)")
     flags, _ = p.parse_known_args(argv)
     return flags
 
@@ -74,7 +78,8 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
     ckpt = CheckpointManager(model_dir, modelname)
 
     model = Q2L(backbone=flags.backbone, loss_type=flags.loss_type,
-                teacher_dim=flags.teacher_dim, dtype=dtype)
+                teacher_dim=flags.teacher_dim, dtype=dtype,
+                fused_train=flags.fused_train)
     # eval/dump may run the int8 serving path; the TRAIN model/params are
     # shared (quant_eval only changes fused-kernel execution, not the tree)
     eval_model = Q2L(backbone=flags.backbone, loss_type=flags.loss_type,

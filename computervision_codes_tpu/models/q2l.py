@@ -165,6 +165,8 @@ class Q2L(nn.Module):
     quant_min_dim: int = 768
     fused_eval: Optional[bool] = None  # None = auto (fused Pallas kernels
     # on TPU eval); True forces them (CPU interpret — parity tests)
+    fused_train: bool = False  # Pallas-forward/reference-backward Swin
+    # train path (ops/swin_train) — same gradients, faster step
     dtype: jnp.dtype = jnp.float32
 
     def _tasks(self):
@@ -189,6 +191,7 @@ class Q2L(nn.Module):
                                  quant_eval=self.quant_eval,
                                  quant_min_dim=self.quant_min_dim,
                                  fused_eval=self.fused_eval,
+                                 fused_train=self.fused_train,
                                  dtype=self.dtype, name="backbone",
                                  **SWIN_VARIANTS[self.backbone])
             fmap = bb(images, train=train)["feature_map"]

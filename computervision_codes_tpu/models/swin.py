@@ -161,6 +161,11 @@ class SwinBlock(nn.Module):
     # accuracy, opt-in
     quant_eval: bool = False
     quant_min_dim: int = 768
+    # fused_train: run the TRAIN forward through the Pallas half-block
+    # kernels with reference-autodiff backward (ops/swin_train) — both
+    # the forward and the remat replay ride the fast kernels while
+    # gradients stay exactly the XLA reference's
+    fused_train: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def _fused_full_block(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -253,6 +258,51 @@ class SwinBlock(nn.Module):
             mp["Dense_1"]["bias"].astype(self.dtype),
             quant=self.quant_eval and self.dim >= self.quant_min_dim)
 
+    def _fused_train_block(self, x: jnp.ndarray,
+                           deterministic: bool) -> jnp.ndarray:
+        """Training forward through the fused kernels (custom_vjp:
+        Pallas forward, reference-autodiff backward); DropPath sits
+        between each branch and its residual, as in the XLA path."""
+        from ..ops.swin_train import make_attn_branch, make_mlp_branch
+
+        p = self.variables["params"]
+        b, hgt, wid, c = x.shape
+        w = self.window
+        n = w * w
+        h = self.num_heads
+        shift = self.shift if min(hgt, wid) > w else 0
+
+        table = p["attn"]["relative_position_bias_table"]
+        idx = _relative_position_index(w).reshape(-1)
+        bias = table[idx].reshape(n, n, h).transpose(2, 0, 1).astype(
+            self.dtype)
+        xr = jnp.roll(x, (-shift, -shift), axis=(1, 2)) if shift else x
+        if shift:
+            mask = jnp.asarray(_shift_attn_mask(hgt, wid, w, shift))
+        else:  # the branch fn takes an array; zeros = no masking
+            mask = jnp.zeros(((hgt // w) * (wid // w), n, n))
+        mask = mask.astype(self.dtype)
+        branch = make_attn_branch(w, h)(
+            xr, p["norm1"]["scale"], p["norm1"]["bias"],
+            p["attn"]["qkv"]["kernel"].astype(self.dtype),
+            p["attn"]["qkv"]["bias"].astype(self.dtype),
+            p["attn"]["proj"]["kernel"].astype(self.dtype),
+            p["attn"]["proj"]["bias"].astype(self.dtype),
+            bias, mask)
+        if shift:
+            branch = jnp.roll(branch, (shift, shift), axis=(1, 2))
+        x = x + DropPath(self.drop_path, name="drop_path1")(
+            branch, deterministic)
+        mp = p["mlp"]
+        mlp_out = make_mlp_branch()(
+            x, p["norm2"]["scale"], p["norm2"]["bias"],
+            mp["Dense_0"]["kernel"].astype(self.dtype),
+            mp["Dense_0"]["bias"].astype(self.dtype),
+            mp["Dense_1"]["kernel"].astype(self.dtype),
+            mp["Dense_1"]["bias"].astype(self.dtype))
+        return x + DropPath(self.drop_path, name="drop_path2")(
+            mlp_out, deterministic)
+
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         b, hgt, wid, c = x.shape
@@ -262,6 +312,14 @@ class SwinBlock(nn.Module):
         fused_base = (use_fused and deterministic
                       and not self.is_initializing()
                       and not self.use_fused_attn)
+        if (self.fused_train and not deterministic
+                and not self.is_initializing() and not self.use_fused_attn
+                and hgt % w == 0 and wid % w == 0 and w % 2 == 0
+                and self.dim <= 768 and self.dropout == 0.0):
+            # DropPath modules are declared inside; the param tree is
+            # identical (attn/norm/mlp params created by the init-time
+            # XLA path, read here like the fused eval halves)
+            return self._fused_train_block(x, deterministic)
         # MHSA kernel: needs clean windows, an even window size (Mosaic
         # rejects n=49 shapes: "infer-vector-layout: unsupported shape
         # cast" — 224-class models stay on XLA), and a VMEM-resident QKV
@@ -355,6 +413,8 @@ class SwinTransformer(nn.Module):
     quant_eval: bool = False  # int8-MXU GEMMs in the fused kernels where
     # measured faster (stage dims >= quant_min_dim) — PTQ accuracy, opt-in
     quant_min_dim: int = 768
+    fused_train: bool = False  # Pallas-forward/reference-backward train
+    # path (ops/swin_train)
     num_classes: int = 0  # 0 = headless (Q2L strips the head)
     remat: bool = False  # rematerialize blocks (jax.checkpoint) — trades
     # FLOPs for HBM so SwinL-384 trains on one chip at useful batch sizes
@@ -389,6 +449,7 @@ class SwinTransformer(nn.Module):
                               fused_split=self.fused_split,
                               quant_eval=self.quant_eval,
                               quant_min_dim=self.quant_min_dim,
+                              fused_train=self.fused_train,
                               dtype=self.dtype,
                               name=f"stage{si}_block{d}")(x, det)
                 bi += 1

@@ -70,7 +70,7 @@ def q8_dot(x, wq, wscale):
 
 
 def _kernel(x_ref, gamma_ref, beta_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-            s1_ref, s2_ref, o_ref, *, quant):
+            s1_ref, s2_ref, o_ref, *, quant, res_add):
     j = pl.program_id(1)
     x = x_ref[...]
     xf = x.astype(jnp.float32)
@@ -95,8 +95,8 @@ def _kernel(x_ref, gamma_ref, beta_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     @pl.when(j == 0)
     def _():
         # residual + bias in the model dtype (matches the module's add)
-        o_ref[...] = x + (o + b2_ref[0].astype(jnp.float32)).astype(
-            o_ref.dtype)
+        ob = (o + b2_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
+        o_ref[...] = x + ob if res_add else ob
 
     @pl.when(j > 0)
     def _():
@@ -104,10 +104,11 @@ def _kernel(x_ref, gamma_ref, beta_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("block_tokens",
-                                             "hidden_chunk", "quant"))
+                                             "hidden_chunk", "quant",
+                                             "res_add"))
 def mlp_block_fused(x, gamma, beta, w1, b1, w2, b2,
                     block_tokens: int = 1024, hidden_chunk: int = 0,
-                    quant: bool = False):
+                    quant: bool = False, res_add: bool = True):
     """x (..., C) -> x + mlp(LN(x)), fused. Leading dims are flattened;
     the largest power-of-two block <= block_tokens dividing T is used,
     ditto hidden_chunk vs the hidden width.
@@ -165,7 +166,7 @@ def mlp_block_fused(x, gamma, beta, w1, b1, w2, b2,
         s1 = jnp.zeros((1, hc), jnp.float32)
         s2 = jnp.zeros((1, c), jnp.float32)
     out = pl.pallas_call(
-        functools.partial(_kernel, quant=quant),
+        functools.partial(_kernel, quant=quant, res_add=res_add),
         out_shape=jax.ShapeDtypeStruct((t, c), x.dtype),
         # hidden chunks iterate fastest so each output block accumulates
         # in place before the next token block arrives
@@ -199,7 +200,8 @@ def mlp_block_fused(x, gamma, beta, w1, b1, w2, b2,
     return out.reshape(shape)
 
 
-def mlp_block_reference(x, gamma, beta, w1, b1, w2, b2):
+def mlp_block_reference(x, gamma, beta, w1, b1, w2, b2,
+                        res_add: bool = True):
     xf = x.astype(jnp.float32)
     mu = xf.mean(-1, keepdims=True)
     var = ((xf - mu) ** 2).mean(-1, keepdims=True)
@@ -207,4 +209,5 @@ def mlp_block_reference(x, gamma, beta, w1, b1, w2, b2):
         x.dtype)
     h = jax.nn.gelu((normed @ w1 + b1).astype(jnp.float32),
                     approximate=False).astype(x.dtype)
-    return x + (h @ w2 + b2).astype(x.dtype)
+    o = (h @ w2 + b2).astype(x.dtype)
+    return x + o if res_add else o

@@ -66,7 +66,7 @@ def _group_size(num_heads: int, head_dim: int) -> int:
 def _kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, bqkv_ref, wproj_ref,
             bproj_ref, biasp_ref, mask_ref, kmask_ref, sum_ref, exp_ref,
             sqkv_ref, sproj_ref, o_ref, *, window, num_heads, cols,
-            use_mask, rows_per_step, group, quant):
+            use_mask, rows_per_step, group, quant, res_add):
     from .mlp_block import q8_dot
 
     w = window
@@ -137,17 +137,22 @@ def _kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, bqkv_ref, wproj_ref,
                     o, wproj_ref[...], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
             o = (o + bproj_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
-            # residual in the model dtype (matches the module's bf16 add)
-            res = rows[r * w:(r + 1) * w, j * w:(j + 1) * w, :].reshape(n, c)
+            if res_add:
+                # residual in the model dtype (matches the module's add)
+                res = rows[r * w:(r + 1) * w,
+                           j * w:(j + 1) * w, :].reshape(n, c)
+                o = o + res
             o_ref[0, r * w:(r + 1) * w, j * w:(j + 1) * w, :] = \
-                (o + res).reshape(w, w, c)
+                o.reshape(w, w, c)
 
 
 @functools.partial(jax.jit, static_argnames=("window", "num_heads",
-                                             "rows_per_step", "quant"))
+                                             "rows_per_step", "quant",
+                                             "res_add"))
 def window_mhsa_fused(x, gamma, beta, wqkv, bqkv, wproj, bproj, bias,
                       mask, *, window: int, num_heads: int,
-                      rows_per_step: int = 1, quant: bool = False):
+                      rows_per_step: int = 1, quant: bool = False,
+                      res_add: bool = True):
     """x (B, Hp, Wp, C) -> x + proj(attn(LN(x))) with windowed attention.
 
     ``bias`` (H, N, N) relative-position bias; ``mask`` (nW, N, N) additive
@@ -200,7 +205,8 @@ def window_mhsa_fused(x, gamma, beta, wqkv, bqkv, wproj, bproj, bias,
 
     kernel = functools.partial(_kernel, window=w, num_heads=num_heads,
                                cols=cols, use_mask=use_mask,
-                               rows_per_step=r, group=g, quant=quant)
+                               rows_per_step=r, group=g, quant=quant,
+                               res_add=res_add)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
@@ -248,7 +254,8 @@ def window_mhsa_fused(x, gamma, beta, wqkv, bqkv, wproj, bproj, bias,
 
 
 def window_mhsa_reference(x, gamma, beta, wqkv, bqkv, wproj, bproj, bias,
-                          mask, *, window: int, num_heads: int):
+                          mask, *, window: int, num_heads: int,
+                          res_add: bool = True):
     """XLA reference for parity tests — same math, materialized."""
     b, hp, wp, c = x.shape
     w = window
@@ -277,4 +284,5 @@ def window_mhsa_reference(x, gamma, beta, wqkv, bqkv, wproj, bproj, bias,
     o = jnp.einsum("bhnm,bmhd->bnhd", p, v).reshape(-1, n, c)
     o = (o.reshape(-1, c) @ wproj).reshape(-1, n, c) + bproj
     o = o.reshape(b, hp // w, wp // w, w, w, c).transpose(0, 1, 3, 2, 4, 5)
-    return x + o.reshape(b, hp, wp, c).astype(x.dtype)
+    o = o.reshape(b, hp, wp, c).astype(x.dtype)
+    return x + o if res_add else o

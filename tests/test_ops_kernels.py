@@ -475,3 +475,40 @@ def test_mlp_block_fused_quant_multi_block(rng):
         outs.append(xb + (q8_dot(h, w2q, s2) + b2).astype(xb.dtype))
     want = jnp.concatenate(outs)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_swin_fused_train_grad_matches_xla(rng):
+    """SwinTransformer(fused_train=True): the Pallas-forward /
+    reference-backward training path gives the SAME loss gradients as
+    the XLA path (same param tree, same dropout rngs, drop-path on)."""
+    import jax
+    import jax.numpy as jnp
+
+    from computervision_codes_tpu.models.swin import (SwinTransformer,
+                                                      VARIANTS)
+
+    cfg = dict(VARIANTS["swin_nano_64"])
+    m_x = SwinTransformer(fused_train=False, drop_path_rate=0.1,
+                          dtype=jnp.float32, **cfg)
+    m_f = SwinTransformer(fused_train=True, drop_path_rate=0.1,
+                          dtype=jnp.float32, **cfg)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    v = m_x.init(jax.random.PRNGKey(1), x)
+    key = jax.random.PRNGKey(3)
+
+    def loss(model, params):
+        out = model.apply({"params": params}, x, train=True,
+                          rngs={"dropout": key})
+        return jnp.mean(out["pooled"] ** 2) + jnp.mean(
+            out["feature_map"] ** 2)
+
+    lx, gx = jax.value_and_grad(lambda p: loss(m_x, p))(v["params"])
+    lf, gf = jax.value_and_grad(lambda p: loss(m_f, p))(v["params"])
+    np.testing.assert_allclose(float(lf), float(lx), rtol=1e-5)
+    flat_x = jax.tree_util.tree_leaves_with_path(gx)
+    flat_f = jax.tree_util.tree_leaves_with_path(gf)
+    for (kx, ax), (kf, af) in zip(flat_x, flat_f):
+        assert kx == kf
+        np.testing.assert_allclose(
+            np.asarray(af), np.asarray(ax), atol=5e-5,
+            err_msg=jax.tree_util.keystr(kx))
