@@ -89,9 +89,11 @@ def main(batch=32, iters=10):
                f"(b={batch}, 256x448, full hard+soft+MSE mix)", dt, batch)
 
 
-def q2l_teacher(batch=8, iters=6):
+def q2l_teacher(batch=8, iters=6, fused_train=False):
     """Q2L SwinL-384 component-teacher train step (the heaviest stage the
-    reference trains, Spatial_transformer/run.py:423-480)."""
+    reference trains, Spatial_transformer/run.py:423-480). ``fused_train``
+    routes the forward (and the remat replay) through the Pallas kernels
+    with reference-autodiff backward (ops/swin_train)."""
     from computervision_codes_tpu.cli.spatial_transformer import (
         TOOL_POS_WEIGHT, VERB_POS_WEIGHT, TARGET_POS_WEIGHT)
     from computervision_codes_tpu.models.q2l import Q2L
@@ -100,7 +102,7 @@ def q2l_teacher(batch=8, iters=6):
 
     rng = np.random.default_rng(0)
     model = Q2L(backbone="swin_L_384_22k", loss_type="i",
-                dtype=jnp.bfloat16, remat=True)
+                dtype=jnp.bfloat16, remat=True, fused_train=fused_train)
     tx = build_sgd(1e-2, weight_decay=1e-5)
     state = create_train_state(model, tx, jax.random.PRNGKey(0),
                                (jnp.zeros((1, 384, 384, 3), jnp.float32),))
@@ -127,8 +129,8 @@ def q2l_teacher(batch=8, iters=6):
         return losses[-1]
 
     dt = timed_steps(run, state, batch_data, iters)
-    report(f"Q2L SwinL-384 teacher train step bf16 (b={batch}, remat)",
-           dt, batch)
+    report(f"Q2L SwinL-384 teacher train step bf16 (b={batch}, remat"
+           f"{', fused_train' if fused_train else ''})", dt, batch)
 
 
 def mstct(batch=31, window=256, iters=10):
@@ -258,6 +260,11 @@ ROWS = {"kd": main, "q2l": q2l_teacher, "mstct": mstct, "tcn": tcn,
         "terl": terl}
 
 if __name__ == "__main__":
+    if "q2l_fused" in sys.argv[1:]:
+        q2l_teacher(fused_train=True)
+        sys.argv.remove("q2l_fused")
+        if len(sys.argv) == 1:
+            sys.exit(0)
     rows = sys.argv[1:] or list(ROWS)
     for r in rows:
         ROWS[r]()
