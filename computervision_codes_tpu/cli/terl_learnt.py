@@ -56,6 +56,9 @@ def parse_flags(argv: Optional[Sequence[str]] = None):
     p.add_argument("--moco_m", type=float, default=0.999)
     p.add_argument("--moco_t", type=float, default=0.07)
     p.add_argument("--mlp", action="store_true")
+    p.add_argument("--fused_train", action="store_true",
+                   help="train forward through the fused Pallas Swin "
+                        "kernels (reference-autodiff backward)")
     p.add_argument("--fix_backbone", action="store_true",
                    help="freeze the Swin patch embed + stages 0-1 "
                         "(reference models/backbone.py:203-206)")
@@ -127,6 +130,7 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
 
     model = TERLModel(backbone=flags.backbone, moco_dim=flags.moco_dim,
                       mlp=flags.mlp, ht=flags.ht, num_triplet=n_ivt,
+                      fused_train=getattr(flags, "fused_train", False),
                       dtype=dtype)
     steps_per_epoch = max(1, len(dataset.frame_index(split.train)) //
                           flags.batch)

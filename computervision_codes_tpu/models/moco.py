@@ -50,12 +50,15 @@ class MoCoEncoder(nn.Module):
     ht: bool = False
     drop_rate: float = 0.0
     num_triplet: int = 100  # 100 - len(drop_classes) under --drop_classes
+    fused_train: bool = False  # Pallas-forward/reference-backward Swin
+    # train path (ops/swin_train; blocks self-gate on dropout == 0)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False,
                  ht_masks: Optional[Dict[str, Tuple]] = None) -> Dict:
         bb = SwinTransformer(num_classes=0, dropout=self.drop_rate,
+                             fused_train=self.fused_train,
                              dtype=self.dtype, name="backbone",
                              **SWIN_VARIANTS[self.backbone])
         out = bb(images, train=train)
@@ -156,12 +159,13 @@ class TERLModel(nn.Module):
     ht: bool = False
     drop_rate: float = 0.0
     num_triplet: int = 100
+    fused_train: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.encoder = MoCoEncoder(self.backbone, self.moco_dim, self.mlp,
                                    self.ht, self.drop_rate, self.num_triplet,
-                                   self.dtype)
+                                   self.fused_train, self.dtype)
         self.disen = CamDisentangle(swin_feature_dim(self.backbone)
                                     if self.backbone in SWIN_VARIANTS else 512,
                                     self.dtype)
