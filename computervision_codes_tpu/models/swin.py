@@ -168,20 +168,16 @@ class SwinBlock(nn.Module):
     fused_train: bool = False
     dtype: jnp.dtype = jnp.float32
 
-    def _fused_full_block(self, x: jnp.ndarray) -> jnp.ndarray:
-        """The whole block (attn + MLP halves) through ops/swin_block's
-        single kernel — one launch, no HBM round-trip for the intermediate.
-        Attention commutes with the shift roll (LN/MLP are positionwise),
-        so the roll/unroll stays outside, as in the split path."""
-        from ..ops.swin_block import swin_block_fused
-
+    def _attn_kernel_inputs(self, x: jnp.ndarray):
+        """Shared preamble of every fused path: rel-pos bias gather,
+        shift gating, input roll and shift mask. Returns
+        (params, x_rolled, bias, mask-or-None, shift)."""
         p = self.variables["params"]
         b, hgt, wid, c = x.shape
         w = self.window
         n = w * w
         h = self.num_heads
         shift = self.shift if min(hgt, wid) > w else 0
-
         table = p["attn"]["relative_position_bias_table"]
         idx = _relative_position_index(w).reshape(-1)
         bias = table[idx].reshape(n, n, h).transpose(2, 0, 1).astype(
@@ -191,6 +187,17 @@ class SwinBlock(nn.Module):
             mask = jnp.asarray(_shift_attn_mask(hgt, wid, w, shift))
         else:
             mask = None
+        return p, x, bias, mask, shift
+
+    def _fused_full_block(self, x: jnp.ndarray) -> jnp.ndarray:
+        """The whole block (attn + MLP halves) through ops/swin_block's
+        single kernel — one launch, no HBM round-trip for the intermediate.
+        Attention commutes with the shift roll (LN/MLP are positionwise),
+        so the roll/unroll stays outside, as in the split path."""
+        from ..ops.swin_block import swin_block_fused
+
+        w, h = self.window, self.num_heads
+        p, x, bias, mask, shift = self._attn_kernel_inputs(x)
         mp = p["mlp"]
         x = swin_block_fused(
             x, p["norm1"]["scale"], p["norm1"]["bias"],
@@ -215,22 +222,8 @@ class SwinBlock(nn.Module):
         the SAME param tree the XLA path creates."""
         from ..ops.window_mhsa import window_mhsa_fused
 
-        p = self.variables["params"]
-        b, hgt, wid, c = x.shape
-        w = self.window
-        n = w * w
-        h = self.num_heads
-        shift = self.shift if min(hgt, wid) > w else 0
-
-        table = p["attn"]["relative_position_bias_table"]
-        idx = _relative_position_index(w).reshape(-1)
-        bias = table[idx].reshape(n, n, h).transpose(2, 0, 1).astype(
-            self.dtype)
-        if shift:
-            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
-            mask = jnp.asarray(_shift_attn_mask(hgt, wid, w, shift))
-        else:
-            mask = None
+        w, h = self.window, self.num_heads
+        p, x, bias, mask, shift = self._attn_kernel_inputs(x)
         x = window_mhsa_fused(
             x, p["norm1"]["scale"], p["norm1"]["bias"],
             p["attn"]["qkv"]["kernel"].astype(self.dtype),
@@ -265,30 +258,18 @@ class SwinBlock(nn.Module):
         between each branch and its residual, as in the XLA path."""
         from ..ops.swin_train import make_attn_branch, make_mlp_branch
 
-        p = self.variables["params"]
-        b, hgt, wid, c = x.shape
-        w = self.window
-        n = w * w
-        h = self.num_heads
-        shift = self.shift if min(hgt, wid) > w else 0
-
-        table = p["attn"]["relative_position_bias_table"]
-        idx = _relative_position_index(w).reshape(-1)
-        bias = table[idx].reshape(n, n, h).transpose(2, 0, 1).astype(
-            self.dtype)
-        xr = jnp.roll(x, (-shift, -shift), axis=(1, 2)) if shift else x
+        w, h = self.window, self.num_heads
+        p, xr, bias, mask, shift = self._attn_kernel_inputs(x)
+        args = (xr, p["norm1"]["scale"], p["norm1"]["bias"],
+                p["attn"]["qkv"]["kernel"].astype(self.dtype),
+                p["attn"]["qkv"]["bias"].astype(self.dtype),
+                p["attn"]["proj"]["kernel"].astype(self.dtype),
+                p["attn"]["proj"]["bias"].astype(self.dtype), bias)
         if shift:
-            mask = jnp.asarray(_shift_attn_mask(hgt, wid, w, shift))
-        else:  # the branch fn takes an array; zeros = no masking
-            mask = jnp.zeros(((hgt // w) * (wid // w), n, n))
-        mask = mask.astype(self.dtype)
-        branch = make_attn_branch(w, h)(
-            xr, p["norm1"]["scale"], p["norm1"]["bias"],
-            p["attn"]["qkv"]["kernel"].astype(self.dtype),
-            p["attn"]["qkv"]["bias"].astype(self.dtype),
-            p["attn"]["proj"]["kernel"].astype(self.dtype),
-            p["attn"]["proj"]["bias"].astype(self.dtype),
-            bias, mask)
+            branch = make_attn_branch(w, h, True)(
+                *args, mask.astype(self.dtype))
+        else:  # maskless fast path (no per-window zero-mask DMA)
+            branch = make_attn_branch(w, h, False)(*args)
         if shift:
             branch = jnp.roll(branch, (shift, shift), axis=(1, 2))
         x = x + DropPath(self.drop_path, name="drop_path1")(

@@ -45,13 +45,15 @@ def _gelu_exact(x):
     return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
 
 
-def q8_weight(w, axis: int = 0):
-    """Per-output-channel symmetric int8 weight quant: returns (wq int8,
-    scale f32 (1, n)). ``axis`` is the contraction axis of ``w``."""
-    a = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=axis, keepdims=True)
-    scale = jnp.maximum(a, 1e-30) / 127.0
-    wq = jnp.round(w.astype(jnp.float32) / scale).astype(jnp.int8)
-    return wq, scale.astype(jnp.float32)
+def q8_weight(w):
+    """Per-output-channel symmetric int8 weight quant for 2-D (k, n)
+    GEMM weights: returns (wq int8, scale f32 (1, n)). Thin reshape over
+    ops/quant.quantize_weight so the kernels and the conv/dense PTQ paths
+    share ONE quantization policy (clip + scale floor)."""
+    from .quant import quantize_weight
+
+    wq, scale = quantize_weight(w.astype(jnp.float32), axis=-1)
+    return wq, scale.astype(jnp.float32).reshape(1, -1)
 
 
 def q8_dot(x, wq, wscale):

@@ -40,7 +40,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .mlp_block import _gelu_exact, q8_dot, q8_weight
-from .window_mhsa import _group_size
+from .window_mhsa import (_group_size, packed_window_attention,
+                          packing_matrices)
 
 
 def _ln(x, gamma, beta):
@@ -84,32 +85,12 @@ def _kernel(x_ref, g1_ref, be1_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
         kmask = kmask_ref[...]
         for j in range(cols):  # static unroll over the windows of this row
             win = qkv[:, j * w:(j + 1) * w, :].reshape(n, 3 * c)
-            if use_mask:
-                mwin = jnp.tile(mask_ref[j].astype(jnp.float32), (1, g))
-            outs = []
-            for G in range(ng):  # static unroll over head groups
-                qg = win[:, G * g * hd:(G + 1) * g * hd]
-                kg = win[:, c + G * g * hd:c + (G + 1) * g * hd]
-                vg = win[:, 2 * c + G * g * hd:2 * c + (G + 1) * g * hd]
-                kbig = jnp.tile(kg, (g, 1)) * kmask
-                s = jax.lax.dot_general(
-                    qg, kbig, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) * scale
-                s = s + biasp_ref[G].astype(jnp.float32)
-                if use_mask:
-                    s = s + mwin
-                s = s - jnp.max(s, axis=-1, keepdims=True)
-                e = jnp.exp(s)
-                denom = jax.lax.dot_general(
-                    e, sum_ref[...], (((1,), (0,)), ((), ())))
-                dexp = jax.lax.dot_general(
-                    1.0 / denom, exp_ref[...], (((1,), (0,)), ((), ())))
-                p = (e * dexp).astype(x_ref.dtype)
-                vbig = jnp.tile(vg, (g, 1)) * kmask
-                outs.append(jax.lax.dot_general(
-                    p, vbig, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32).astype(x_ref.dtype))
-            o = outs[0] if ng == 1 else jnp.concatenate(outs, axis=-1)
+            mwin = jnp.tile(mask_ref[j].astype(jnp.float32), (1, g)) \
+                if use_mask else None
+            o = packed_window_attention(
+                win, c=c, hd=hd, g=g, ng=ng, scale=scale,
+                biasp_ref=biasp_ref, mwin=mwin, kmask=kmask,
+                sum_ref=sum_ref, exp_ref=exp_ref, dtype=x_ref.dtype)
             if quant:
                 o = q8_dot(o.astype(jnp.float32), wproj_ref[...],
                            sproj_ref[...])
@@ -183,15 +164,7 @@ def swin_block_fused(x, g1, be1, wqkv, bqkv, wproj, bproj, bias, mask,
 
     g = _group_size(num_heads, hd)
     ng = num_heads // g
-    biasp = bias.reshape(ng, g, n, n).transpose(0, 2, 1, 3).reshape(
-        ng, n, g * n).astype(x.dtype)
-    km = np.zeros((g * n, g * hd), np.float32)
-    sm = np.zeros((g * n, g), np.float32)
-    em = np.zeros((g, g * n), np.float32)
-    for h in range(g):
-        km[h * n:(h + 1) * n, h * hd:(h + 1) * hd] = 1.0
-        sm[h * n:(h + 1) * n, h] = 1.0
-        em[h, h * n:(h + 1) * n] = 1.0
+    biasp, km, sm, em = packing_matrices(bias, num_heads, hd, n, x.dtype)
 
     if quant:
         wqkv, sqkv = q8_weight(wqkv)

@@ -30,21 +30,29 @@ from .window_mhsa import window_mhsa_fused, window_mhsa_reference
 
 
 @functools.lru_cache(maxsize=None)
-def make_attn_branch(window: int, num_heads: int):
-    """attn branch f(x, ...params..., bias, mask) -> proj(attn(LN(x)))
-    (NO residual): Pallas forward, reference-autodiff backward. ``mask``
-    is always an array (zeros when unshifted)."""
+def make_attn_branch(window: int, num_heads: int, use_mask: bool = True):
+    """attn branch f(x, ...params..., bias[, mask]) -> proj(attn(LN(x)))
+    (NO residual): Pallas forward, reference-autodiff backward. The
+    unshifted variant (``use_mask=False``) takes no mask argument and
+    runs the kernel's maskless fast path (no per-window zero-mask DMA)."""
 
-    def ref(x, gamma, beta, wqkv, bqkv, wproj, bproj, bias, mask):
+    def ref(x, gamma, beta, wqkv, bqkv, wproj, bproj, bias, mask=None):
         return window_mhsa_reference(x, gamma, beta, wqkv, bqkv, wproj,
                                      bproj, bias, mask, window=window,
                                      num_heads=num_heads, res_add=False)
 
-    @jax.custom_vjp
-    def f(x, gamma, beta, wqkv, bqkv, wproj, bproj, bias, mask):
-        return window_mhsa_fused(x, gamma, beta, wqkv, bqkv, wproj, bproj,
-                                 bias, mask, window=window,
-                                 num_heads=num_heads, res_add=False)
+    if use_mask:
+        @jax.custom_vjp
+        def f(x, gamma, beta, wqkv, bqkv, wproj, bproj, bias, mask):
+            return window_mhsa_fused(x, gamma, beta, wqkv, bqkv, wproj,
+                                     bproj, bias, mask, window=window,
+                                     num_heads=num_heads, res_add=False)
+    else:
+        @jax.custom_vjp
+        def f(x, gamma, beta, wqkv, bqkv, wproj, bproj, bias):
+            return window_mhsa_fused(x, gamma, beta, wqkv, bqkv, wproj,
+                                     bproj, bias, None, window=window,
+                                     num_heads=num_heads, res_add=False)
 
     def fwd(*args):
         return f(*args), args

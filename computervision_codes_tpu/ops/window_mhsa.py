@@ -63,6 +63,64 @@ def _group_size(num_heads: int, head_dim: int) -> int:
     return g
 
 
+
+def packed_window_attention(win, *, c, hd, g, ng, scale, biasp_ref, mwin,
+                            kmask, sum_ref, exp_ref, dtype):
+    """Group-packed attention for ONE window (shared by the split and
+    merged kernels). ``win`` (n, 3c) packed qkv rows; ``mwin`` is the
+    g-tiled additive shift mask (n, g*n) or None. Returns (n, c)."""
+    outs = []
+    for G in range(ng):  # static unroll over head groups
+        qg = win[:, G * g * hd:(G + 1) * g * hd]
+        kg = win[:, c + G * g * hd:c + (G + 1) * g * hd]
+        vg = win[:, 2 * c + G * g * hd:2 * c + (G + 1) * g * hd]
+        kbig = jnp.tile(kg, (g, 1)) * kmask  # block-diag (g*n, g*hd)
+        s = jax.lax.dot_general(
+            qg, kbig, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        s = s + biasp_ref[G].astype(jnp.float32)
+        if mwin is not None:
+            s = s + mwin
+        # row-wide max >= each block max; per-block softmax is
+        # shift-invariant, so one subtraction stabilizes all blocks
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        denom = jax.lax.dot_general(  # (n, g) per-block sums
+            e, sum_ref[...], (((1,), (0,)), ((), ())))
+        # a head-block whose logits sit ~88+ below the row max underflows
+        # to all-zero e; floor the denominator so that block emits zeros
+        # instead of 0 * inf = NaN (bounded error in a regime ordinary
+        # logits never reach)
+        denom = jnp.maximum(denom, 1e-30)
+        dexp = jax.lax.dot_general(  # broadcast back to (n, g*n)
+            1.0 / denom, exp_ref[...], (((1,), (0,)), ((), ())))
+        p = (e * dexp).astype(dtype)
+        vbig = jnp.tile(vg, (g, 1)) * kmask
+        outs.append(jax.lax.dot_general(
+            p, vbig, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dtype))
+    return outs[0] if ng == 1 else jnp.concatenate(outs, axis=-1)
+
+
+def packing_matrices(bias, num_heads: int, head_dim: int, n: int,
+                     dtype):
+    """Host-side packing constants shared by the split and merged kernels:
+    packed rel-pos bias (ng, n, g*n), block-diag keep mask (g*n, g*hd),
+    per-block sum matrix (g*n, g) and broadcast matrix (g, g*n)."""
+    g = _group_size(num_heads, head_dim)
+    ng = num_heads // g
+    biasp = bias.reshape(ng, g, n, n).transpose(0, 2, 1, 3).reshape(
+        ng, n, g * n).astype(dtype)
+    km = np.zeros((g * n, g * head_dim), np.float32)
+    sm = np.zeros((g * n, g), np.float32)
+    em = np.zeros((g, g * n), np.float32)
+    for h in range(g):
+        km[h * n:(h + 1) * n, h * head_dim:(h + 1) * head_dim] = 1.0
+        sm[h * n:(h + 1) * n, h] = 1.0
+        em[h, h * n:(h + 1) * n] = 1.0
+    return biasp, km, sm, em
+
+
 def _kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, bqkv_ref, wproj_ref,
             bproj_ref, biasp_ref, mask_ref, kmask_ref, sum_ref, exp_ref,
             sqkv_ref, sproj_ref, o_ref, *, window, num_heads, cols,
@@ -100,35 +158,12 @@ def _kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, bqkv_ref, wproj_ref,
         row_q = qkv[r]
         for j in range(cols):  # static unroll over the windows of this row
             win = row_q[:, j * w:(j + 1) * w, :].reshape(n, 3 * c)
-            if use_mask:
-                mwin = jnp.tile(mask_ref[r * cols + j].astype(jnp.float32),
-                                (1, g))
-            outs = []
-            for G in range(ng):  # static unroll over head groups
-                qg = win[:, G * g * hd:(G + 1) * g * hd]
-                kg = win[:, c + G * g * hd:c + (G + 1) * g * hd]
-                vg = win[:, 2 * c + G * g * hd:2 * c + (G + 1) * g * hd]
-                kbig = jnp.tile(kg, (g, 1)) * kmask  # block-diag (g*n, g*hd)
-                s = jax.lax.dot_general(
-                    qg, kbig, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) * scale
-                s = s + biasp_ref[G].astype(jnp.float32)
-                if use_mask:
-                    s = s + mwin
-                # row-wide max >= each block max; per-block softmax is
-                # shift-invariant, so one subtraction stabilizes all blocks
-                s = s - jnp.max(s, axis=-1, keepdims=True)
-                e = jnp.exp(s)
-                denom = jax.lax.dot_general(  # (n, g) per-block sums
-                    e, sum_ref[...], (((1,), (0,)), ((), ())))
-                dexp = jax.lax.dot_general(  # broadcast back to (n, g*n)
-                    1.0 / denom, exp_ref[...], (((1,), (0,)), ((), ())))
-                p = (e * dexp).astype(x_ref.dtype)
-                vbig = jnp.tile(vg, (g, 1)) * kmask
-                outs.append(jax.lax.dot_general(
-                    p, vbig, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32).astype(x_ref.dtype))
-            o = outs[0] if ng == 1 else jnp.concatenate(outs, axis=-1)
+            mwin = jnp.tile(mask_ref[r * cols + j].astype(jnp.float32),
+                            (1, g)) if use_mask else None
+            o = packed_window_attention(
+                win, c=c, hd=hd, g=g, ng=ng, scale=scale,
+                biasp_ref=biasp_ref, mwin=mwin, kmask=kmask,
+                sum_ref=sum_ref, exp_ref=exp_ref, dtype=x_ref.dtype)
             if quant:
                 o = q8_dot(o.astype(jnp.float32), wproj_ref[...],
                            sproj_ref[...])
@@ -181,17 +216,7 @@ def window_mhsa_fused(x, gamma, beta, wqkv, bqkv, wproj, bproj, bias,
 
     g = _group_size(num_heads, hd)
     ng = num_heads // g
-    # packed bias: group G, head-in-group h' -> column block h' of (n, g*n)
-    biasp = bias.reshape(ng, g, n, n).transpose(0, 2, 1, 3).reshape(
-        ng, n, g * n).astype(x.dtype)
-    # block-diagonal keep-mask shared by the k- and v-side masked tiles
-    km = np.zeros((g * n, g * hd), np.float32)
-    sm = np.zeros((g * n, g), np.float32)
-    em = np.zeros((g, g * n), np.float32)
-    for h in range(g):
-        km[h * n:(h + 1) * n, h * hd:(h + 1) * hd] = 1.0
-        sm[h * n:(h + 1) * n, h] = 1.0
-        em[h, h * n:(h + 1) * n] = 1.0
+    biasp, km, sm, em = packing_matrices(bias, num_heads, hd, n, x.dtype)
     kmask = jnp.asarray(km, x.dtype)
     sum_mat = jnp.asarray(sm)
     exp_mat = jnp.asarray(em)

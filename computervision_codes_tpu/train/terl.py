@@ -223,9 +223,9 @@ def make_terl_train_step(model: TERLModel, w_con: float = 1.0,
 def make_terl_eval_step(model: TERLModel, ht_masks=None):
     @jax.jit
     def step(state: TERLTrainState, images):
-        enc_out = state.apply_fn({"params": state.params}, images,
-                                 train=False, ht_masks=ht_masks,
-                                 method=TERLModel.encode)
+        enc_out = model.apply({"params": state.params}, images,
+                              train=False, ht_masks=ht_masks,
+                              method=TERLModel.encode)
         probs = {k: jax.nn.sigmoid(v) for k, v in enc_out["logits"].items()}
         return probs, enc_out["feature"]
 

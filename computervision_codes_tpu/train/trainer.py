@@ -140,9 +140,13 @@ def make_spatial_train_step(model, loss_type: str = "all",
 
 
 def make_spatial_eval_step(model):
+    # apply through the MODEL ARGUMENT, not state.apply_fn — the state
+    # binds the TRAIN model's apply, and eval may use a differently
+    # configured twin of the same param tree (e.g. Q2L(quant_eval=True)
+    # behind the driver's --quant_eval)
     @jax.jit
     def step(state: TrainState, images: jnp.ndarray):
-        out = state.apply_fn(state.variables(), images, train=False)
+        out = model.apply(state.variables(), images, train=False)
         probs = {k: jax.nn.sigmoid(v) for k, v in out["logits"].items()}
         return probs, out["feature"]
 
@@ -180,7 +184,7 @@ def make_tcn_train_step(model, comp_weight: float = 0.1,
 def make_tcn_eval_step(model):
     @jax.jit
     def step(state: TrainState, features: jnp.ndarray):
-        out = state.apply_fn({"params": state.params}, features, train=False)
+        out = model.apply({"params": state.params}, features, train=False)
         # reference eval uses pyramid level 0 (Temporal_tenco/run.py:252-264)
         return {k: jax.nn.sigmoid(out[k][0]) for k in ("ivt", "i", "v", "t")}
 

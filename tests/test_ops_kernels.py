@@ -461,10 +461,16 @@ def test_mlp_block_fused_quant_multi_block(rng):
 
     got = mlp_block_fused(x, gamma, beta, w1, b1, w2, b2,
                           block_tokens=blk, hidden_chunk=4 * c, quant=True)
+    # hidden_chunk = c: FOUR chunks — exercises the quant-specific scale
+    # BlockSpec indexing and the int8 partial-sum accumulation across the
+    # hidden grid axis (per-CHUNK activation scales for the second GEMM)
+    got_chunked = mlp_block_fused(x, gamma, beta, w1, b1, w2, b2,
+                                  block_tokens=blk, hidden_chunk=c,
+                                  quant=True)
 
     w1q, s1 = q8_weight(w1)
     w2q, s2 = q8_weight(w2)
-    outs = []
+    outs, outs_chunked = [], []
     for i in range(t // blk):
         xb = x[i * blk:(i + 1) * blk]
         xf = xb.astype(jnp.float32)
@@ -473,8 +479,16 @@ def test_mlp_block_fused_quant_multi_block(rng):
         normed = (xf - mu) * jax.lax.rsqrt(var + 1e-5) * gamma + beta
         h = _gelu_exact(q8_dot(normed, w1q, s1) + b1)
         outs.append(xb + (q8_dot(h, w2q, s2) + b2).astype(xb.dtype))
-    want = jnp.concatenate(outs)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+        acc = xb + b2.astype(xb.dtype)
+        for j in range(4):
+            sl = slice(j * c, (j + 1) * c)
+            hj = _gelu_exact(q8_dot(normed, w1q[:, sl], s1[:, sl]) + b1[sl])
+            acc = acc + q8_dot(hj, w2q[sl, :], s2).astype(xb.dtype)
+        outs_chunked.append(acc)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(
+        jnp.concatenate(outs)), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_chunked), np.asarray(
+        jnp.concatenate(outs_chunked)), atol=1e-4)
 
 
 def test_swin_fused_train_grad_matches_xla(rng):
