@@ -20,15 +20,67 @@ report value / 2500.0.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
 
+A100_REFERENCE_FPS_ESTIMATE = 2500.0
+
+# transient-infrastructure signatures worth a backoff+retry (the axon TPU
+# tunnel drops and recovers: BENCH_r03 died on one 'UNAVAILABLE' at init)
+_RETRYABLE = ("UNAVAILABLE", "DEADLINE_EXCEEDED", "Unable to initialize",
+              "Connection", "Socket closed", "unreachable", "RESOURCE_EXHAUSTED",
+              "timed out")
+
+
+def _supervise(attempts: int = 3, child_timeout: int = 900) -> int:
+    """Run the bench body in child processes with bounded retries.
+
+    A fresh process per attempt is REQUIRED: jax caches a failed backend
+    init for the life of the process, and a dead tunnel can also make the
+    first device call hang forever (hence the per-attempt timeout). On
+    success the child's stdout (one JSON line) is relayed verbatim; after
+    exhausting retries a diagnostic JSON line is still emitted so the
+    round's record carries the failure cause rather than a bare rc.
+    """
+    env = dict(os.environ, GRAFT_BENCH_CHILD="1")
+    last_tail, backoff = "", 30
+    for attempt in range(attempts):
+        try:
+            proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                  env=env, capture_output=True, text=True,
+                                  timeout=child_timeout)
+        except subprocess.TimeoutExpired:
+            last_tail = f"attempt {attempt + 1}: hung > {child_timeout}s " \
+                        "(tunnel hang) — killed"
+            time.sleep(backoff)
+            backoff *= 2
+            continue
+        line = next((ln for ln in proc.stdout.splitlines()
+                     if ln.startswith("{")), None)
+        if proc.returncode == 0 and line:
+            print(line)
+            return 0
+        last_tail = (proc.stderr or proc.stdout or "")[-2000:]
+        if not any(sig in last_tail for sig in _RETRYABLE):
+            break  # deterministic failure — retrying would just burn budget
+        time.sleep(backoff)
+        backoff *= 2
+    print(json.dumps({
+        "metric": "video frames/sec/chip pixels->logits (ResNet18+TCN e2e, "
+                  "256x448, int8-PTQ backbone + bf16 TCN)",
+        "value": 0.0, "unit": "frames/sec/chip", "vs_baseline": 0.0,
+        "error": f"bench failed after {attempts} attempts",
+        "error_tail": last_tail[-600:],
+    }))
+    return 1
+
+
 import jax
 import jax.numpy as jnp
-
-A100_REFERENCE_FPS_ESTIMATE = 2500.0
 
 
 def _chained_fps(apply_fn, variables, stacked, batch, clip_len, n_bufs,
@@ -83,12 +135,11 @@ def main():
                   "256x448, int8-PTQ backbone + bf16 TCN)",
         "value": round(fps, 1),
         "unit": "frames/sec/chip",
+        # vs_baseline IS the int8 serving config; vs_baseline_bf16 is the
+        # precision-matched (like-for-like vs the fp16/fp32 torch anchor)
+        # ratio (ADVICE r2; the redundant _int8 alias dropped, ADVICE r3)
         "vs_baseline": round(fps / A100_REFERENCE_FPS_ESTIMATE, 3),
-        # precision-matched comparison at top level alongside the
-        # deployed-config one (ADVICE r2): the anchor is fp16/fp32 torch,
-        # bf16 is the like-for-like ratio, int8-PTQ the serving config
         "vs_baseline_bf16": round(fps_bf16 / A100_REFERENCE_FPS_ESTIMATE, 3),
-        "vs_baseline_int8": round(fps / A100_REFERENCE_FPS_ESTIMATE, 3),
         "detail": {
             "batch": batch, "clip_len": clip_len, "iters": iters,
             "elapsed_s": round(elapsed, 3), "checksum": round(checksum, 4),
@@ -102,4 +153,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("GRAFT_BENCH_CHILD"):
+        main()
+    else:
+        sys.exit(_supervise())

@@ -35,9 +35,12 @@ def timed_scan(apply_fn, variables, base, eps, iters=20):
     if _BASELINE[0] is None:
         _BASELINE[0] = 0.0
         z = jnp.zeros((8, 8), jnp.bfloat16)
+        # the overhead is per-INVOCATION, so the constant is the empty
+        # loop's TOTAL elapsed: per-iter x its OWN iters (pinned), not the
+        # first caller's iters (ADVICE r3 — reordering rows mis-scaled it)
         _BASELINE[0] = max(0.0, timed_scan(
             lambda v, x: x.astype(jnp.float32).mean(), None, z,
-            jnp.zeros((8,), jnp.bfloat16)) * iters)
+            jnp.zeros((8,), jnp.bfloat16), iters=20) * 20)
     float(loop(variables, base, eps))  # compile + warm
     t0 = time.perf_counter()
     float(loop(variables, base, eps))

@@ -105,9 +105,17 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
     train_step = make_spatial_train_step(model, flags.loss_type, flags.rates,
                                          flags.temp, pos_weights)
     eval_step = make_spatial_eval_step(eval_model)
+    # mid-training validation drives best-by-val checkpoint selection with
+    # the FLOAT model; the int8 twin serves only the final --test/--dump
+    # passes (ADVICE r3 — PTQ noise must not pick the checkpoint)
+    val_step = make_spatial_eval_step(model) if flags.quant_eval \
+        else eval_step
 
     def run_batch(images):
         return eval_step(state, jnp.asarray(images))
+
+    def run_batch_val(images):
+        return val_step(state, jnp.asarray(images))
 
     metrics = common.make_metrics()
     set_chlg = "challenge" in flags.dataset_variant
@@ -128,7 +136,7 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
                            {k: float(v) for k, v in m.items()}, epoch)
             if epoch % flags.val_interval == 0:
                 common.reset_metrics(metrics)
-                common.evaluate_videos(run_batch, dataset, split.val,
+                common.evaluate_videos(run_batch_val, dataset, split.val,
                                        flags.batch, metrics)
                 sel = flags.loss_type if flags.loss_type in ("i", "v", "t") \
                     else "ivt"

@@ -72,7 +72,7 @@ def q8_dot(x, wq, wscale):
 
 
 def _kernel(x_ref, gamma_ref, beta_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-            s1_ref, s2_ref, o_ref, *, quant, res_add):
+            s1_ref, s2_ref, o_ref, *acc_ref, quant, res_add, n_chunks):
     j = pl.program_id(1)
     x = x_ref[...]
     xf = x.astype(jnp.float32)
@@ -94,15 +94,29 @@ def _kernel(x_ref, gamma_ref, beta_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         o = jax.lax.dot_general(h, w2_ref[...], (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
 
-    @pl.when(j == 0)
-    def _():
+    if n_chunks == 1:
         # residual + bias in the model dtype (matches the module's add)
         ob = (o + b2_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
         o_ref[...] = x + ob if res_add else ob
+        return
+
+    # hidden-chunked: partial sums accumulate in an f32 VMEM scratch so
+    # the bf16 production path doesn't round once per chunk; cast to the
+    # model dtype exactly once at the last chunk
+    acc = acc_ref[0]
+
+    @pl.when(j == 0)
+    def _():
+        base = o + b2_ref[0].astype(jnp.float32)
+        acc[...] = base + xf if res_add else base
 
     @pl.when(j > 0)
     def _():
-        o_ref[...] = o_ref[...] + o.astype(o_ref.dtype)
+        acc[...] = acc[...] + o
+
+    @pl.when(j == n_chunks - 1)
+    def _():
+        o_ref[...] = acc[...].astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_tokens",
@@ -149,16 +163,17 @@ def mlp_block_fused(x, gamma, beta, w1, b1, w2, b2,
     if auto and not quant:
         # empirical VMEM model, calibrated on two measured allocations
         # (blk1024/hc1024/c768 = 16.38 MiB; blk256/hc1024/c1536 = 16.59
-        # MiB): x-side blocks ~12 B/elem, hidden intermediates ~2 B/elem,
+        # MiB): x-side blocks ~12 B/elem (+4 B/elem f32 accumulator
+        # scratch when hidden-chunked), hidden intermediates ~2 B/elem,
         # weight blocks ~8 B/elem (bf16 x2 matrices x2 double-buffering).
         # 15 MiB budget leaves margin for the borderline stage-4 case.
-        while blk > 128 and (blk * c * 12 + blk * hc * 2 + c * hc * 8
+        while blk > 128 and (blk * c * 16 + blk * hc * 2 + c * hc * 8
                              ) > 15 * 2 ** 20:
             if blk >= hc:
                 blk //= 2
             else:
                 hc //= 2
-        while hc > 256 and (blk * c * 12 + blk * hc * 2 + c * hc * 8
+        while hc > 256 and (blk * c * 16 + blk * hc * 2 + c * hc * 8
                             ) > 15 * 2 ** 20:
             hc //= 2
     if quant:
@@ -167,9 +182,15 @@ def mlp_block_fused(x, gamma, beta, w1, b1, w2, b2,
     else:
         s1 = jnp.zeros((1, hc), jnp.float32)
         s2 = jnp.zeros((1, c), jnp.float32)
+    n_chunks = hidden // hc
     out = pl.pallas_call(
-        functools.partial(_kernel, quant=quant, res_add=res_add),
+        functools.partial(_kernel, quant=quant, res_add=res_add,
+                          n_chunks=n_chunks),
         out_shape=jax.ShapeDtypeStruct((t, c), x.dtype),
+        # f32 accumulator only when chunking is active: the single-chunk
+        # paths (all int8 auto configs) stay byte-identical in VMEM
+        scratch_shapes=([pltpu.VMEM((blk, c), jnp.float32)]
+                        if n_chunks > 1 else []),
         # hidden chunks iterate fastest so each output block accumulates
         # in place before the next token block arrives
         grid=(t // blk, hidden // hc),

@@ -194,9 +194,15 @@ class StreamingSession:
     # against receptive_field to know when a stream's output is exact
     frames_seen_per_stream: Optional[np.ndarray] = None
 
+    def __post_init__(self):
+        if self.frames_seen_per_stream is None:
+            self.frames_seen_per_stream = np.zeros(self.streams, np.int64)
+
     @property
     def frames_seen(self) -> int:
-        """Minimum frames seen across streams (back-compat scalar view)."""
+        """MINIMUM frames seen across streams (back-compat scalar view —
+        conservative: it reaches receptive_field only once EVERY stream's
+        output is exact)."""
         return int(self.frames_seen_per_stream.min())
 
     @classmethod

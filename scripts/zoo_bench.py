@@ -37,9 +37,11 @@ def timed_scan(apply_fn, variables, base, eps, iters=20):
     if _BASELINE[0] is None:
         _BASELINE[0] = 0.0
         z = jnp.zeros((8, 8), jnp.bfloat16)
+        # per-INVOCATION constant: per-iter x the empty loop's OWN iters
+        # (pinned 20), not the first caller's (ADVICE r3)
         _BASELINE[0] = max(0.0, timed_scan(
             lambda v, x: x.astype(jnp.float32).mean(), None, z,
-            jnp.zeros((8,), jnp.bfloat16)) * iters)
+            jnp.zeros((8,), jnp.bfloat16), iters=20) * 20)
     float(loop(variables, base, eps))
     t0 = time.perf_counter()
     float(loop(variables, base, eps))

@@ -35,5 +35,18 @@ def test_virtual_mesh_env_scrubs_axon_and_forces_count():
 
 def test_dryrun_runs_in_process_when_devices_available():
     # conftest provisions 8 virtual CPU devices, so this exercises the
-    # full sharded KD step + seq-parallel checks without a subprocess.
+    # driver-budget tier (sharded KD step + seq-parallel checks) without
+    # a subprocess.
+    graft.dryrun_multichip(4)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.slow
+def test_dryrun_full_attestations(monkeypatch):
+    # the two expensive attestations gated out of the driver path
+    # (MULTICHIP_r03 rc=124): TERL MoCo queue consistency across replicas
+    # and the MS-TCT ring-attention forward.
+    monkeypatch.setenv("GRAFT_DRYRUN_FULL", "1")
     graft.dryrun_multichip(4)
