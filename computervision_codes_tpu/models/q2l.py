@@ -43,7 +43,8 @@ class MultiHeadAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, q, k, v, deterministic: bool = True):
+    def __call__(self, q, k, v, deterministic: bool = True,
+                 return_attn: bool = False):
         h = self.num_heads
         hd = self.dim // h
         b, nq, _ = q.shape
@@ -61,7 +62,13 @@ class MultiHeadAttention(nn.Module):
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, split(vp, nk))
         out = out.transpose(0, 2, 1, 3).reshape(b, nq, self.dim)
-        return nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(out)
+        out = nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(out)
+        if return_attn:
+            # torch MultiheadAttention convention: weights averaged over
+            # heads, (B, nq, nk) — the reference's sim_mat surface
+            # (TERL/6_baseline_learnT/models/transformer.py:285-302)
+            return out, jnp.mean(attn, axis=1)
+        return out
 
 
 class EncoderLayer(nn.Module):
@@ -100,10 +107,15 @@ class DecoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, tgt, memory, pos, query_pos, deterministic: bool = True):
+    def __call__(self, tgt, memory, pos, query_pos, deterministic: bool = True,
+                 return_attn: bool = False):
         attn = MultiHeadAttention(self.dim, self.num_heads, self.dropout,
                                   self.dtype, name="cross_attn")(
-            tgt + query_pos, memory + pos, memory, deterministic)
+            tgt + query_pos, memory + pos, memory, deterministic,
+            return_attn=return_attn)
+        sim = None
+        if return_attn:
+            attn, sim = attn
         tgt = tgt + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(tgt)
         ffn = nn.Dense(self.ffn_dim, dtype=self.dtype, name="linear1")(tgt)
@@ -111,7 +123,8 @@ class DecoderLayer(nn.Module):
         ffn = nn.Dropout(self.dropout)(ffn, deterministic=deterministic)
         ffn = nn.Dense(self.dim, dtype=self.dtype, name="linear2")(ffn)
         tgt = tgt + nn.Dropout(self.dropout)(ffn, deterministic=deterministic)
-        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(tgt)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(tgt)
+        return (tgt, sim) if return_attn else tgt
 
 
 class Q2LTransformer(nn.Module):
@@ -126,7 +139,8 @@ class Q2LTransformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, src, pos, query_embed, deterministic: bool = True):
+    def __call__(self, src, pos, query_embed, deterministic: bool = True,
+                 return_attn: bool = False):
         # src: (B, HW, d); pos: (1, HW, d); query_embed: (K, d)
         memory = src
         for i in range(self.num_encoder_layers):
@@ -138,12 +152,22 @@ class Q2LTransformer(nn.Module):
         query = jnp.broadcast_to(query_embed[None],
                                  (b,) + query_embed.shape).astype(self.dtype)
         tgt = jnp.zeros_like(query)
+        sim_mat = None
         for i in range(self.num_decoder_layers):
-            tgt = DecoderLayer(self.dim, self.num_heads, self.ffn_dim,
+            last = i == self.num_decoder_layers - 1
+            out = DecoderLayer(self.dim, self.num_heads, self.ffn_dim,
                                self.dropout, self.dtype,
                                name=f"decoder{i}")(tgt, memory, pos, query,
-                                                   deterministic)
+                                                   deterministic,
+                                                   return_attn=(return_attn
+                                                                and last))
+            tgt, sim_mat = out if return_attn and last else (out, sim_mat)
         tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="decoder_norm")(tgt)
+        if return_attn:
+            # the reference decoder threads the LAST layer's cross-attn
+            # weights out as sim_mat_2
+            # (TERL/6_baseline_learnT/models/transformer.py:161-178)
+            return tgt, memory, sim_mat
         return tgt, memory
 
 
@@ -167,6 +191,10 @@ class Q2L(nn.Module):
     # on TPU eval); True forces them (CPU interpret — parity tests)
     fused_train: bool = False  # Pallas-forward/reference-backward Swin
     # train path (ops/swin_train) — same gradients, faster step
+    return_sim_mat: bool = False  # also return each task decoder's final
+    # cross-attention map (B, K, HW) — the reference TERL transformer
+    # variant's sim_mat_2 surface (TERL/6_baseline_learnT/models/moco.py:67-77,
+    # models/transformer.py:161-178); query-to-location saliency for analysis
     dtype: jnp.dtype = jnp.float32
 
     def _tasks(self):
@@ -233,19 +261,26 @@ class Q2L(nn.Module):
             "ivt": jnp.zeros((b, self.num_triplet), self.dtype),
         }
         feats: Dict[str, jnp.ndarray] = {}
+        sim_mats: Dict[str, jnp.ndarray] = {}
         for key, num_class in self._tasks():
             proj = nn.Dense(dim, dtype=self.dtype,
                             name=f"input_proj_{key}")(src)
             queries = self.param(f"query_embed_{key}",
                                  nn.initializers.normal(1.0),
                                  (num_class, dim))
-            hs, memory = transformer(proj, pos, queries, det)
+            if self.return_sim_mat:
+                hs, memory, sim_mats[key] = transformer(
+                    proj, pos, queries, det, return_attn=True)
+            else:
+                hs, memory = transformer(proj, pos, queries, det)
             logits[key] = GroupWiseLinear(num_class, dim, dtype=self.dtype,
                                           name=f"fc_{key}")(hs)
             feats[key] = jnp.mean(memory, axis=1)  # (B, dim)
 
         feature = feats.get("ivt", next(iter(feats.values())))
         out = {"logits": logits, "feature": feature, "task_features": feats}
+        if self.return_sim_mat:
+            out["sim_mat"] = sim_mats
         if self.loss_type == "all" and feat_i is not None:
             out["kd"] = KDCrossTaskAttention(
                 student_dim=dim, teacher_dim=self.teacher_dim,

@@ -18,6 +18,7 @@ def tiny_root(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_two_stage_pipeline_smoke(tiny_root, tmp_path):
     from computervision_codes_tpu.cli import spatial_cnn, temporal_tcn
 
@@ -67,6 +68,7 @@ def test_crossval_orchestrator_aggregates(tiny_root, tmp_path):
     assert 0.0 <= res["mean"]["ivt"] <= 1.0
 
 
+@pytest.mark.slow
 def test_terl_cam_dump_writes_overlays(tiny_root, tmp_path):
     """--cam_dump: checkpoint -> per-task CAM overlay PNGs, end-to-end
     through the TERL driver (reference TERL/6_baseline_learnT/cam.py:200-278

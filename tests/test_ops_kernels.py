@@ -491,6 +491,7 @@ def test_mlp_block_fused_quant_multi_block(rng):
         jnp.concatenate(outs_chunked)), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_swin_fused_train_grad_matches_xla(rng):
     """SwinTransformer(fused_train=True): the Pallas-forward /
     reference-backward training path gives the SAME loss gradients as

@@ -76,6 +76,7 @@ def test_moco_all_gather(data_mesh, rng):
     np.testing.assert_allclose(np.asarray(gk), np.asarray(keys), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_data_parallel_train_step_matches_single_device(rng):
     """The sharded KD train step produces the same loss/grads as unsharded."""
     from computervision_codes_tpu.models.spatial_cnn import SpatialCNN
@@ -149,6 +150,7 @@ def test_ring_attention_exact(seq_mesh, rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_terl_step_data_parallel_matches_single(rng):
     """The TERL contrastive step under a sharded data axis matches the
     single-device result (queue updates and anchor gathers included) — the

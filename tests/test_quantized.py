@@ -88,12 +88,14 @@ def test_quantized_resnet18_feature_fidelity(rng):
         assert r.shape == g.shape
 
 
+@pytest.mark.slow
 def test_quantized_resnet50_runs(rng):
     ref, got = _float_and_quant(rng, "resnet50", hw=(32, 32), batch=2)
     assert got["pooled"].shape == ref["pooled"].shape
     assert np.isfinite(np.asarray(got["pooled"])).all()
 
 
+@pytest.mark.slow
 def test_int8_e2e_logits_track_float(rng):
     model = EndToEndRecognizer(dtype=jnp.float32)
     clips = jnp.asarray(rng.standard_normal((1, 8, 32, 56, 3)), jnp.float32)
@@ -133,6 +135,7 @@ def test_int8_static_scales_track_dynamic(rng):
     assert corr_f > 0.98, corr_f
 
 
+@pytest.mark.slow
 def test_int8_tresnet_pooled_parity(rng):
     """quantize_tresnet + quantized_tresnet_apply track the float TResNet
     (pooled cosine > 0.99, dynamic AND calibrated static scales) — the

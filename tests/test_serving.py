@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from computervision_codes_tpu.serving import InferenceSession
 
@@ -177,6 +178,7 @@ def test_receptive_field_and_context_warning():
     assert not any("receptive field" in str(w.message) for w in caught)
 
 
+@pytest.mark.slow
 def test_teacher_session():
     """TeacherSession: compiled Q2L teacher serving — uint8 and float
     inputs, per-task probabilities + bus features, int8 config close."""

@@ -80,7 +80,10 @@ def test_q2l_transformer(rng):
     assert mem.shape == (2, 12, 32)
 
 
-@pytest.mark.parametrize("loss_type", ["i", "all"])
+@pytest.mark.parametrize("loss_type", [
+    pytest.param("i", marks=pytest.mark.slow),  # 115s; [all] covers more
+    "all",
+])
 def test_q2l_full_model(rng, loss_type):
     model = Q2L(backbone="swin_T_224_1k", loss_type=loss_type, teacher_dim=24)
     # tiny images: swin T window 7, 64x64 -> final 2x2 map
@@ -100,6 +103,7 @@ def test_q2l_full_model(rng, loss_type):
         assert float(jnp.sum(jnp.abs(out["logits"]["ivt"]))) == 0.0
 
 
+@pytest.mark.slow
 def test_swin_remat_grad_matches(rng):
     """remat=True must give identical outputs and gradients (just cheaper
     memory) — validates the jax.checkpoint wiring."""
@@ -118,3 +122,34 @@ def test_swin_remat_grad_matches(rng):
     np.testing.assert_allclose(float(la), float(lb), rtol=1e-6)
     for pa, pb in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
         np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=1e-5)
+
+
+def test_q2l_sim_mat_surface(rng):
+    """The reference TERL transformer variant threads the last decoder
+    layer's cross-attention weights out as sim_mat_2
+    (TERL/6_baseline_learnT/models/moco.py:67-77,
+    models/transformer.py:161-178): head-averaged (B, K, HW) rows summing
+    to 1, same params as the plain forward."""
+    tr = Q2LTransformer(dim=32, ffn_dim=64)
+    src = jnp.asarray(rng.standard_normal((2, 12, 32)), jnp.float32)
+    pos = jnp.asarray(rng.standard_normal((1, 12, 32)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((6, 32)), jnp.float32)
+    variables = tr.init(jax.random.PRNGKey(0), src, pos, q)
+    hs, mem, sim = tr.apply(variables, src, pos, q, return_attn=True)
+    assert sim.shape == (2, 6, 12)
+    np.testing.assert_allclose(np.asarray(sim.sum(-1)), 1.0, atol=1e-5)
+    # the attention tap must not change the decoded output
+    hs_plain, _ = tr.apply(variables, src, pos, q)
+    np.testing.assert_allclose(np.asarray(hs), np.asarray(hs_plain),
+                               atol=1e-6)
+
+    model = Q2L(backbone="swin_nano_64", loss_type="i", teacher_dim=24,
+                return_sim_mat=True)
+    img = jnp.asarray(rng.standard_normal((1, 64, 64, 3)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img)
+    out = model.apply(variables, img)
+    assert set(out["sim_mat"]) == {"i"}
+    b, k, hw = out["sim_mat"]["i"].shape
+    assert (b, k) == (1, 6)
+    np.testing.assert_allclose(np.asarray(out["sim_mat"]["i"].sum(-1)), 1.0,
+                               atol=1e-5)

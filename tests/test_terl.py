@@ -40,6 +40,7 @@ def _batch(rng, b=2, max_anchors=4):
     }
 
 
+@pytest.mark.slow
 def test_terl_train_step_full(terl_setup, rng):
     model, state = terl_setup
     step = make_terl_train_step(model, w_epoch=1, kcl_k=2)
@@ -99,6 +100,7 @@ def test_terl_classification_only_mode(rng):
     assert "loss_con" not in m
 
 
+@pytest.mark.slow
 def test_fix_backbone_freezes_patch_embed_and_early_stages(rng):
     from computervision_codes_tpu.train import freeze_swin_early
 

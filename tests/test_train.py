@@ -109,6 +109,7 @@ def test_spatial_train_step_reduces_loss(tiny_spatial, rng):
     assert state.batch_stats is not None
 
 
+@pytest.mark.slow
 def test_spatial_train_step_sam(tiny_spatial, rng):
     """--optimizer sam: the SAM step trains and one SAM update differs
     from one plain-SGD update from the same init (the ascent perturbation
@@ -131,6 +132,7 @@ def test_spatial_train_step_sam(tiny_spatial, rng):
     assert np.isfinite(losses).all() and losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_zero_rate_terms_ignore_nonfinite_teachers(rng):
     """--rates 1 0 0 must be immune to NaN teacher artifacts: zero-rate
     loss terms are skipped at trace time (0 * nan = nan otherwise, which
@@ -229,6 +231,7 @@ def test_checkpoint_orbax_backend(tmp_path, tiny_spatial):
     assert int(restored.step) == int(state.step)
 
 
+@pytest.mark.slow
 def test_checkpoint_orbax_sharded_roundtrip(tmp_path, tiny_spatial, rng):
     """Orbax save/restore of a TrainState laid out over the 8-device mesh
     (params replicated, as in DP training): bitwise round-trip, restored
@@ -266,6 +269,7 @@ def test_checkpoint_orbax_sharded_roundtrip(tmp_path, tiny_spatial, rng):
     assert mgr2.best_score == 0.5
 
 
+@pytest.mark.slow
 def test_q2l_resnet_backbone_trains_through_driver_state(rng):
     """Regression: Q2L ResNet backbones keep FrozenBatchNorm constants in a
     'frozen' collection that create_train_state used to drop, crashing the
