@@ -220,3 +220,57 @@ def synthetic_feature_dict(videos: Sequence[str], num_frames: int, dim: int,
     """Random cached-feature dict in the feature-bus format (keyed by video)."""
     rng = np.random.default_rng(seed)
     return {v: rng.standard_normal((num_frames, dim)).astype(np.float32) for v in videos}
+
+
+def write_mjpeg_avi(path: str, frames: np.ndarray, fps: int = 25,
+                    quality: int = 90) -> str:
+    """Mux (N, H, W, 3) uint8 frames into an MJPEG-in-AVI file.
+
+    Pure-python RIFF muxer (standard hdrl/movi/idx1 layout) over
+    PIL-encoded baseline JPEGs — generates the video-container inputs the
+    native plane's dp_video_* ingest consumes (native/dataplane.cpp),
+    which replaces the reference's PNG-per-frame dataset layout
+    (MT4MTLKD/readme.md:30-89) as the production feed.
+    """
+    import io
+    import struct
+
+    from PIL import Image
+
+    n, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
+    jpegs = []
+    for f in frames:
+        buf = io.BytesIO()
+        Image.fromarray(f).save(buf, format="JPEG", quality=quality)
+        jpegs.append(buf.getvalue())
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(listtype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", listtype + body)
+
+    max_bytes = max(len(j) for j in jpegs)
+    avih = struct.pack("<14I", 1_000_000 // fps, max_bytes * fps, 0,
+                       0x10,  # AVIF_HASINDEX
+                       n, 0, 1, max_bytes, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIiI", 0, 0, 0, 0,
+                                            1, fps, 0, n, max_bytes, -1, 0)
+            + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+
+    movi_body = b"movi"
+    idx = b""
+    for j in jpegs:
+        off = len(movi_body)  # offset of the 00dc fourcc from 'movi' start
+        movi_body += chunk(b"00dc", j)
+        idx += b"00dc" + struct.pack("<III", 0x10, off, len(j))
+    movi = chunk(b"LIST", movi_body)
+    riff_body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
+    with open(path, "wb") as fh:
+        fh.write(b"RIFF" + len(riff_body).to_bytes(4, "little") + riff_body)
+    return path

@@ -15,14 +15,21 @@
 #include <png.h>
 #include <jpeglib.h>
 
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
 #include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <csetjmp>
+#include <mutex>
 #include <string>
 #include <thread>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -122,6 +129,47 @@ Image decode_jpeg(const char* path, int target_h = 0, int target_w = 0) {
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
   std::fclose(fp);
+  out.ok = true;
+  return out;
+}
+
+// In-memory JPEG decode (video-container frames) with the same
+// decode-at-scale policy as the file path.
+Image decode_jpeg_mem(const uint8_t* buf, size_t len, int target_h = 0,
+                      int target_w = 0) {
+  Image out;
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return out;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, buf, len);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  if (target_h > 0 && target_w > 0) {
+    int m = 8;
+    for (int cand = 1; cand <= 8; ++cand) {
+      long sh = (long(cinfo.image_height) * cand + 7) / 8;
+      long sw = (long(cinfo.image_width) * cand + 7) / 8;
+      if (sh >= target_h && sw >= target_w) { m = cand; break; }
+    }
+    cinfo.scale_num = m;
+    cinfo.scale_denom = 8;
+  }
+  jpeg_start_decompress(&cinfo);
+  out.w = cinfo.output_width;
+  out.h = cinfo.output_height;
+  out.rgb.resize(size_t(out.h) * out.w * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row = out.rgb.data() + size_t(cinfo.output_scanline) * out.w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
   out.ok = true;
   return out;
 }
@@ -354,6 +402,253 @@ int dp_decode_batch_u8(const char* joined_paths, int n, uint8_t* out, int oh,
   return failed.load();
 }
 
-int dp_version() { return 2; }
+// ---------------------------------------------------------------------------
+// Video-container ingest (round 4). PNG framestores cannot feed a serving
+// chip (measured ~159 cores/chip for JPEG, ~595 for PNG — docs/BENCH.md);
+// the production input is a video file. MJPEG-in-AVI is the first container:
+// libjpeg is already linked, frames stay independently decodable (random
+// access for the temporal samplers), and the demux is pure RIFF walking over
+// an mmap'd file — zero copies until the decoder touches a frame. A raw
+// concatenated-JPEG stream (.mjpg) is accepted via marker-structure walking.
+// Replaces the reference's PNG-per-frame dataset layout
+// (MT4MTLKD/readme.md:30-89) as the production feed.
+
+namespace {
+
+struct VideoFile {
+  int fd = -1;
+  const uint8_t* data = nullptr;
+  size_t len = 0;
+  int width = 0, height = 0;      // from avih when present, else 0
+  double fps = 0.0;
+  std::vector<std::pair<size_t, size_t>> frames;  // (offset, bytes) of JPEGs
+};
+
+inline uint32_t rd32le(const uint8_t* p) {
+  return uint32_t(p[0]) | uint32_t(p[1]) << 8 | uint32_t(p[2]) << 16 |
+         uint32_t(p[3]) << 24;
+}
+
+// Walk a RIFF chunk range, collecting MJPEG video chunks ('##dc'/'##db'
+// whose payload starts with SOI) and the avih main header.
+void walk_riff(const uint8_t* d, size_t pos, size_t end, VideoFile& vf) {
+  while (pos + 8 <= end) {
+    const uint8_t* id = d + pos;
+    uint32_t size = rd32le(d + pos + 4);
+    size_t body = pos + 8;
+    if (body + size > end) break;
+    if (!std::memcmp(id, "LIST", 4) || !std::memcmp(id, "RIFF", 4)) {
+      if (size >= 4) walk_riff(d, body + 4, body + size, vf);
+    } else if (id[2] == 'd' && (id[3] == 'c' || id[3] == 'b') &&
+               size >= 2 && d[body] == 0xFF && d[body + 1] == 0xD8) {
+      vf.frames.emplace_back(body, size);
+    } else if (!std::memcmp(id, "avih", 4) && size >= 40) {
+      uint32_t usec = rd32le(d + body);
+      vf.fps = usec ? 1e6 / usec : 0.0;
+      vf.width = int(rd32le(d + body + 32));
+      vf.height = int(rd32le(d + body + 36));
+    }
+    pos = body + size + (size & 1);  // chunks are word-aligned
+  }
+}
+
+// One past the EOI of the JPEG starting at `pos` (SOI), by marker-structure
+// walking (entropy-coded data is scanned respecting byte stuffing and RST
+// markers — a bare FFD9 byte pair inside scan data cannot occur). 0 = parse
+// failure.
+size_t jpeg_end(const uint8_t* d, size_t pos, size_t end) {
+  size_t p = pos + 2;
+  while (p + 2 <= end) {
+    if (d[p] != 0xFF) return 0;
+    uint8_t m = d[p + 1];
+    if (m == 0xD9) return p + 2;                       // EOI
+    if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) {       // TEM/RSTn: bare
+      p += 2;
+      continue;
+    }
+    if (p + 4 > end) return 0;
+    uint16_t seglen = uint16_t(d[p + 2]) << 8 | d[p + 3];
+    if (seglen < 2) return 0;
+    p += 2 + seglen;
+    if (m == 0xDA) {  // SOS: skip entropy data to the next real marker
+      while (p + 2 <= end &&
+             !(d[p] == 0xFF && d[p + 1] != 0x00 &&
+               !(d[p + 1] >= 0xD0 && d[p + 1] <= 0xD7)))
+        ++p;
+    }
+  }
+  return 0;
+}
+
+void scan_raw_mjpeg(const uint8_t* d, size_t len, VideoFile& vf) {
+  size_t pos = 0;
+  while (pos + 4 <= len) {
+    if (d[pos] == 0xFF && d[pos + 1] == 0xD8) {
+      size_t e = jpeg_end(d, pos, len);
+      if (!e) break;
+      vf.frames.emplace_back(pos, e - pos);
+      pos = e;
+    } else {
+      ++pos;  // tolerate inter-frame padding
+    }
+  }
+}
+
+std::mutex g_vid_mu;
+std::unordered_map<long long, VideoFile*> g_vids;
+long long g_next_vid = 1;
+
+VideoFile* vid_get(long long handle) {
+  std::lock_guard<std::mutex> lk(g_vid_mu);
+  auto it = g_vids.find(handle);
+  return it == g_vids.end() ? nullptr : it->second;
+}
+
+void vid_free(VideoFile* vf) {
+  if (vf->data) munmap(const_cast<uint8_t*>(vf->data), vf->len);
+  if (vf->fd >= 0) close(vf->fd);
+  delete vf;
+}
+
+}  // namespace
+
+// Open an MJPEG video (AVI container or raw concatenated-JPEG stream).
+// Returns a handle > 0, or 0 on failure (unreadable / no JPEG frames).
+long long dp_video_open(const char* path) {
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return 0;
+  struct stat st;
+  if (fstat(fd, &st) != 0 || st.st_size < 12) {
+    close(fd);
+    return 0;
+  }
+  void* map = mmap(nullptr, size_t(st.st_size), PROT_READ, MAP_PRIVATE, fd, 0);
+  if (map == MAP_FAILED) {
+    close(fd);
+    return 0;
+  }
+  auto* vf = new VideoFile;
+  vf->fd = fd;
+  vf->data = static_cast<const uint8_t*>(map);
+  vf->len = size_t(st.st_size);
+  if (!std::memcmp(vf->data, "RIFF", 4) &&
+      !std::memcmp(vf->data + 8, "AVI ", 4)) {
+    walk_riff(vf->data, 12, std::min(vf->len, size_t(rd32le(vf->data + 4)) + 8),
+              *vf);
+  } else if (vf->data[0] == 0xFF && vf->data[1] == 0xD8) {
+    scan_raw_mjpeg(vf->data, vf->len, *vf);
+  }
+  if (vf->frames.empty()) {
+    vid_free(vf);
+    return 0;
+  }
+  std::lock_guard<std::mutex> lk(g_vid_mu);
+  long long h = g_next_vid++;
+  g_vids[h] = vf;
+  return h;
+}
+
+int dp_video_frames(long long handle) {
+  VideoFile* vf = vid_get(handle);
+  return vf ? int(vf->frames.size()) : -1;
+}
+
+int dp_video_width(long long handle) {
+  VideoFile* vf = vid_get(handle);
+  return vf ? vf->width : -1;
+}
+
+int dp_video_height(long long handle) {
+  VideoFile* vf = vid_get(handle);
+  return vf ? vf->height : -1;
+}
+
+double dp_video_fps(long long handle) {
+  VideoFile* vf = vid_get(handle);
+  return vf ? vf->fps : -1.0;
+}
+
+// Decode arbitrary frame indices (the temporal samplers take strided /
+// clip-sampled subsets) into (n, oh, ow, 3) uint8, threaded. Returns the
+// number of failed frames (slots zero-filled); -1 on a bad handle.
+int dp_video_decode_u8(long long handle, const int* indices, int n,
+                       uint8_t* out, int oh, int ow, int n_threads) {
+  VideoFile* vf = vid_get(handle);
+  if (!vf) return -1;
+  std::atomic<int> next(0), failed(0);
+  size_t stride = size_t(oh) * ow * 3;
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      uint8_t* dst = out + stride * i;
+      int fidx = indices[i];
+      bool ok = fidx >= 0 && fidx < int(vf->frames.size());
+      if (ok) {
+        auto [off, sz] = vf->frames[fidx];
+        Image img = decode_jpeg_mem(vf->data + off, sz, oh, ow);
+        ok = img.ok;
+        if (ok) resize_u8(img.rgb.data(), img.h, img.w, dst, oh, ow);
+      }
+      if (!ok) {
+        std::memset(dst, 0, stride);
+        failed.fetch_add(1);
+      }
+    }
+  };
+  int workers = n_threads < 1 ? 1 : (n_threads > n ? n : n_threads);
+  std::vector<std::thread> pool;
+  for (int i = 0; i < workers; ++i) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
+  return failed.load();
+}
+
+// float32 ImageNet-normalized variant of dp_video_decode_u8.
+int dp_video_decode(long long handle, const int* indices, int n, float* out,
+                    int oh, int ow, const float* mean, const float* stddev,
+                    int n_threads) {
+  VideoFile* vf = vid_get(handle);
+  if (!vf) return -1;
+  std::atomic<int> next(0), failed(0);
+  size_t stride = size_t(oh) * ow * 3;
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      float* dst = out + stride * i;
+      int fidx = indices[i];
+      bool ok = fidx >= 0 && fidx < int(vf->frames.size());
+      if (ok) {
+        auto [off, sz] = vf->frames[fidx];
+        Image img = decode_jpeg_mem(vf->data + off, sz, oh, ow);
+        ok = img.ok;
+        if (ok) resize_normalize(img, dst, oh, ow, mean, stddev);
+      }
+      if (!ok) {
+        std::memset(dst, 0, stride * sizeof(float));
+        failed.fetch_add(1);
+      }
+    }
+  };
+  int workers = n_threads < 1 ? 1 : (n_threads > n ? n : n_threads);
+  std::vector<std::thread> pool;
+  for (int i = 0; i < workers; ++i) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
+  return failed.load();
+}
+
+void dp_video_close(long long handle) {
+  VideoFile* vf = nullptr;
+  {
+    std::lock_guard<std::mutex> lk(g_vid_mu);
+    auto it = g_vids.find(handle);
+    if (it == g_vids.end()) return;
+    vf = it->second;
+    g_vids.erase(it);
+  }
+  vid_free(vf);
+}
+
+int dp_version() { return 3; }
 
 }  // extern "C"

@@ -98,6 +98,26 @@ def main():
                          "img_per_s": round(fps, 1),
                          "ms_per_img": round(ms, 2)})
 
+    # video-container ingest (round 4): MJPEG-in-AVI through the mmap'd
+    # demuxer — the production feed path; PNG framestores measured
+    # ~595 cores/chip and per-frame JPEG ~159 (docs/BENCH.md)
+    if native.video_supported():
+        from computervision_codes_tpu.data.synthetic import write_mjpeg_avi
+
+        root = tempfile.mkdtemp(prefix="hostplane_avi_")
+        frames = np.stack([
+            np.asarray(Image.open(p)) for p in make_frames(root, args.n,
+                                                           "jpg")])
+        avi = write_mjpeg_avi(os.path.join(root, "v.avi"), frames, fps=25)
+        idx = np.arange(args.n, dtype=np.int32)
+        with native.VideoReader(avi) as vr:
+            for t in (1, 2, 4, 8):
+                fps, ms = bench(lambda: vr.read_u8(idx, size, n_threads=t),
+                                args.n)
+                rows.append({
+                    "metric": f"native MJPEG-AVI uint8 {t} thread(s)",
+                    "img_per_s": round(fps, 1), "ms_per_img": round(ms, 2)})
+
     for r in rows:
         print(json.dumps(r), flush=True)
 
@@ -110,6 +130,17 @@ def main():
         "chip_fps": CHIP_FPS, "img_per_s_per_core": u8["img_per_s"],
         "cores_needed": round(cores, 1),
     }), flush=True)
+    avi_row = next((r for r in rows
+                    if r["metric"] == "native MJPEG-AVI uint8 1 thread(s)"),
+                   None)
+    if avi_row:
+        print(json.dumps({
+            "metric": "projection: cores to saturate one chip (MJPEG-AVI, "
+                      "uint8 path)",
+            "chip_fps": CHIP_FPS,
+            "img_per_s_per_core": avi_row["img_per_s"],
+            "cores_needed": round(CHIP_FPS / avi_row["img_per_s"], 1),
+        }), flush=True)
 
     if args.device:
         import jax

@@ -86,3 +86,79 @@ def test_native_jpeg_decode_at_scale_close_to_pil(tmp_path, rng):
     # was measured with far larger input perturbations
     assert np.mean(np.abs(got - want)) < 0.06
     assert np.max(np.abs(got - want)) < 0.7
+
+
+@pytest.fixture
+def mjpeg_frames(rng):
+    return rng.integers(0, 256, (10, 48, 64, 3)).astype(np.uint8)
+
+
+def test_video_reader_avi(tmp_path, mjpeg_frames):
+    from computervision_codes_tpu.data.synthetic import write_mjpeg_avi
+
+    if not native.video_supported():
+        pytest.skip("libdataplane.so predates dp_video_*")
+    path = write_mjpeg_avi(str(tmp_path / "v.avi"), mjpeg_frames, fps=25)
+    with native.VideoReader(path) as vr:
+        assert len(vr) == 10
+        assert (vr.width, vr.height) == (64, 48)
+        assert vr.fps == pytest.approx(25.0, rel=0.01)
+
+        # strided subset must equal the per-file decode of the SAME jpegs
+        # (identical decode+resize code path, so byte-identical)
+        import io
+
+        from PIL import Image
+
+        idx = [0, 3, 7, 9, 3]  # repeats allowed
+        paths = []
+        for i, n in enumerate(sorted(set(idx))):
+            buf = io.BytesIO()
+            Image.fromarray(mjpeg_frames[n]).save(buf, format="JPEG",
+                                                  quality=90)
+            p = str(tmp_path / f"f{n}.jpg")
+            open(p, "wb").write(buf.getvalue())
+            paths.append((n, p))
+        got = vr.read_u8(idx, (24, 40))
+        ref = native.decode_batch_u8([p for _, p in paths], (24, 40))
+        by_frame = {n: ref[i] for i, (n, _) in enumerate(paths)}
+        for row, n in zip(got, idx):
+            np.testing.assert_array_equal(row, by_frame[n])
+
+        # float path agrees with the u8 path + normalization
+        gotf = vr.read(idx[:2], (24, 40))
+        assert gotf.shape == (2, 24, 40, 3) and gotf.dtype == np.float32
+
+        with pytest.raises(IOError):
+            vr.read_u8([99], (24, 40))
+
+
+def test_video_reader_raw_stream(tmp_path, mjpeg_frames):
+    import io
+
+    from PIL import Image
+
+    if not native.video_supported():
+        pytest.skip("libdataplane.so predates dp_video_*")
+    blob = b""
+    for f in mjpeg_frames[:4]:
+        buf = io.BytesIO()
+        Image.fromarray(f).save(buf, format="JPEG", quality=90)
+        blob += buf.getvalue()
+    path = str(tmp_path / "v.mjpg")
+    open(path, "wb").write(blob)
+    with native.VideoReader(path) as vr:
+        assert len(vr) == 4
+        out = vr.read_u8([0, 1, 2, 3], (24, 40))
+        assert out.shape == (4, 24, 40, 3)
+        # frame content differs frame to frame (no off-by-one duplication)
+        assert not np.array_equal(out[0], out[1])
+
+
+def test_video_reader_rejects_non_video(tmp_path):
+    if not native.video_supported():
+        pytest.skip("libdataplane.so predates dp_video_*")
+    p = str(tmp_path / "x.avi")
+    open(p, "wb").write(b"not a video at all, just bytes")
+    with pytest.raises(IOError):
+        native.VideoReader(p)
