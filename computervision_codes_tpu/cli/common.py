@@ -69,6 +69,10 @@ def common_parser(description: str) -> argparse.ArgumentParser:
                    help="SAM neighborhood radius (imbsam.py:9)")
     # weights / io
     p.add_argument("--pretrain_dir", type=str, default="")
+    p.add_argument("--imagenet_pretrain", type=str, default="",
+                   help="warm-start the backbone from an official ImageNet "
+                        ".pth (file, or a Pretrain/ dir holding the "
+                        "reference's PTDICT filenames — backbone.py:26-41)")
     p.add_argument("--loss_type", type=str, default="all")
     p.add_argument("--test_ckpt", type=str, default=None)
     p.add_argument("--student_dim", type=int, default=512)
@@ -83,6 +87,30 @@ def common_parser(description: str) -> argparse.ArgumentParser:
                         "state incl. optimizer/schedule — improvement over "
                         "the reference's weights-only manual resume)")
     return p
+
+
+def maybe_warm_start(flags, state, backbone: str, logger,
+                     submodule: str = "backbone"):
+    """Apply --imagenet_pretrain: converted official checkpoint -> backbone
+    params (models/pretrained.py). A no-op when the flag is empty."""
+    path = getattr(flags, "imagenet_pretrain", "")
+    if path:
+        import os
+
+        from ..models.pretrained import PTDICT, warm_start_backbone
+
+        if os.path.isdir(path) and (
+                backbone not in PTDICT
+                or not os.path.exists(os.path.join(path, PTDICT[backbone]))):
+            # directory mode is best-effort per backbone (smoke configs mix
+            # warm-started students with scratch nano teachers); a direct
+            # .pth path still raises on any problem
+            logger.log(f"imagenet_pretrain: no checkpoint for {backbone} "
+                       f"in {path} — training from scratch")
+            return state
+        state = warm_start_backbone(state, backbone, path,
+                                    submodule=submodule, log=logger.log)
+    return state
 
 
 def maybe_resume(flags, ckpt, state, logger):

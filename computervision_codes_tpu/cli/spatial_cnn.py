@@ -88,6 +88,7 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
     init_args = (example_img, tfeat, tfeat, tfeat) \
         if flags.loss_type == "all" else (example_img,)
     state = create_train_state(model, tx, rng, init_args)
+    state = common.maybe_warm_start(flags, state, flags.network, logger)
     if flags.pretrain_dir:
         state = CheckpointManager(flags.pretrain_dir, modelname).restore(state)
     state = common.maybe_resume(flags, ckpt, state, logger)

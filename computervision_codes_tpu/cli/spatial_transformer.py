@@ -98,6 +98,7 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
     init_args = (example, tfeat, tfeat, tfeat) \
         if flags.loss_type == "all" else (example,)
     state = create_train_state(model, tx, rng, init_args)
+    state = common.maybe_warm_start(flags, state, flags.backbone, logger)
     state = common.maybe_resume(flags, ckpt, state, logger)
 
     pos_weights = {"i": TOOL_POS_WEIGHT, "v": VERB_POS_WEIGHT,

@@ -143,6 +143,14 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
     example = jnp.zeros((1, flags.img_size, flags.img_size, 3), jnp.float32)
     state = create_terl_state(model, tx, rng, example,
                               queue_size=flags.moco_k, ht_masks=ht_masks)
+    if getattr(flags, "imagenet_pretrain", ""):
+        # ImageNet Swin into the query encoder (the reference's regime:
+        # runT.sh always starts from pretrained backbones), then re-copy
+        # to the key encoder so MoCo's EMA starts from identical twins
+        state = common.maybe_warm_start(flags, state, flags.backbone,
+                                        logger, submodule="encoder/backbone")
+        state = state.replace(key_params=jax.tree.map(
+            lambda x: jnp.array(x, copy=True), state.params))
     if flags.pretrain_dir:
         # warm-start from another TERL run's checkpoint (same model
         # config) — the reference's regime always starts from pretrained

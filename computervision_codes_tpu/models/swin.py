@@ -295,26 +295,28 @@ class SwinBlock(nn.Module):
                       and not self.use_fused_attn)
         if (self.fused_train and not deterministic
                 and not self.is_initializing() and not self.use_fused_attn
-                and hgt % w == 0 and wid % w == 0 and w % 2 == 0
+                and hgt % w == 0 and wid % w == 0
                 and self.dim <= 768 and self.dropout == 0.0):
             # DropPath modules are declared inside; the param tree is
             # identical (attn/norm/mlp params created by the init-time
             # XLA path, read here like the fused eval halves)
             return self._fused_train_block(x, deterministic)
-        # MHSA kernel: needs clean windows, an even window size (Mosaic
-        # rejects n=49 shapes: "infer-vector-layout: unsupported shape
-        # cast" — 224-class models stay on XLA), and a VMEM-resident QKV
-        # weight (dim 1536's is 14 MiB alone, and stage 4 is GEMM-bound)
+        # MHSA kernel: needs clean windows and a VMEM-resident QKV weight
+        # (dim 1536's is 14 MiB alone, and stage 4 is GEMM-bound). Odd
+        # windows (the 224-class models' window 7) run at a padded (w+1)^2
+        # geometry inside the kernel — Mosaic rejects the raw (49, C)
+        # shape casts ("infer-vector-layout: unsupported shape cast")
         fused_attn = (fused_base and hgt % w == 0 and wid % w == 0
-                      and w % 2 == 0 and self.dim <= 768)
+                      and self.dim <= 768)
         # MLP kernel: hidden-chunked weights — applies at EVERY dim
         if fused_attn:
             # merged single-kernel block wins at dims <= 384 (1.06-1.10x,
             # scripts/swin_fused_bench.py --merged_only); at 768 the MLP
             # weights no longer fit un-chunked and the per-row-strip
             # weight re-DMA makes it 0.95x — stage 3 stays on the split
-            # half-block kernels
-            if self.fused_split or self.dim > 384:
+            # half-block kernels. Odd windows use the split path (the
+            # merged kernel keeps the even-window-only geometry)
+            if self.fused_split or self.dim > 384 or w % 2:
                 x = self._fused_attn_half(x)
                 return self._fused_mlp_half(x)
             return self._fused_full_block(x)

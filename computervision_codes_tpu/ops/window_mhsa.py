@@ -35,8 +35,14 @@ HBM traffic per stage-1 half-block: 85 MB in + 85 MB out (was ~3.3 GB).
 Scope: eval path (deterministic; DropPath is identity), head_dim = 32
 (all Swin variants), dims whose QKV weight fits VMEM (<= 768 — stage 4's
 1536-dim weight is 14 MiB and that stage is GEMM-bound anyway; the module
-falls back to the XLA path there). The shift roll/unroll stays outside
-(LN and the residual are positionwise, so they commute with the roll).
+falls back to the XLA path there). Odd windows (224-class models, window
+7) run at a padded (w+1)^2 geometry: the window tile is zero-padded
+in-kernel so every shape cast is 8-aligned (Mosaic rejects (49, C)
+casts), padded keys are killed by -1e9 in the padded bias, and padded
+query rows are sliced off before the residual — 64/49 extra attention
+FLOPs, none of the XLA path's HBM traffic. The shift roll/unroll stays
+outside (LN and the residual are positionwise, so they commute with the
+roll).
 Parity: tests/test_ops_kernels.py (CPU interpret) + on-chip check in
 scripts/swin_fused_bench.py vs the XLA block.
 
@@ -128,7 +134,12 @@ def _kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, bqkv_ref, wproj_ref,
     from .mlp_block import q8_dot
 
     w = window
-    n = w * w
+    # odd windows (the 224-class models' window 7) are padded to the next
+    # even edge in-kernel: every shape cast becomes 8-aligned (Mosaic
+    # rejects the (49, C) casts), padded KEYS are killed by -1e9 in the
+    # padded bias, padded QUERY rows are computed and discarded
+    wk = w + 1 if w % 2 else w
+    n = wk * wk
     c = x_ref.shape[-1]
     hd = c // num_heads
     g = group
@@ -157,7 +168,10 @@ def _kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, bqkv_ref, wproj_ref,
     for r in range(rows_per_step):  # static unroll over row-of-window strips
         row_q = qkv[r]
         for j in range(cols):  # static unroll over the windows of this row
-            win = row_q[:, j * w:(j + 1) * w, :].reshape(n, 3 * c)
+            blk = row_q[:, j * w:(j + 1) * w, :]
+            if wk != w:
+                blk = jnp.pad(blk, ((0, wk - w), (0, wk - w), (0, 0)))
+            win = blk.reshape(n, 3 * c)
             mwin = jnp.tile(mask_ref[r * cols + j].astype(jnp.float32),
                             (1, g)) if use_mask else None
             o = packed_window_attention(
@@ -172,6 +186,14 @@ def _kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, bqkv_ref, wproj_ref,
                     o, wproj_ref[...], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
             o = (o + bproj_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+            if wk != w:
+                # padded query rows are discarded here; the residual adds
+                # on the (w, w, c) tile to keep every cast 8-aligned
+                ot = o.reshape(wk, wk, c)[:w, :w, :]
+                if res_add:
+                    ot = ot + rows[r * w:(r + 1) * w, j * w:(j + 1) * w, :]
+                o_ref[0, r * w:(r + 1) * w, j * w:(j + 1) * w, :] = ot
+                continue
             if res_add:
                 # residual in the model dtype (matches the module's add)
                 res = rows[r * w:(r + 1) * w,
@@ -203,13 +225,29 @@ def window_mhsa_fused(x, gamma, beta, wqkv, bqkv, wproj, bproj, bias,
     from .mlp_block import q8_weight
     b, hp, wp, c = x.shape
     w = window
-    n = w * w
+    wk = w + 1 if w % 2 else w  # odd windows run at the padded geometry
+    n = wk * wk
     hd = c // num_heads
     rows, cols = hp // w, wp // w
     r = rows_per_step
     while rows % r:
         r //= 2
     use_mask = mask is not None
+    if wk != w:
+        # pad the attention geometry (w, w) -> (wk, wk): zero-pad the
+        # rel-pos bias / shift mask per window axis, then kill padded KEY
+        # positions with an additive -1e9 (padded query rows are don't-care
+        # — the kernel slices them off before the residual)
+        pad5 = ((0, 0), (0, wk - w), (0, wk - w), (0, wk - w), (0, wk - w))
+        bias = jnp.pad(bias.reshape(num_heads, w, w, w, w),
+                       pad5).reshape(num_heads, n, n)
+        keyvalid = np.zeros((wk, wk), np.float32)
+        keyvalid[:w, :w] = 1.0
+        bias = bias + jnp.asarray((1.0 - keyvalid.reshape(n)) * -1e9,
+                                  bias.dtype)[None, None, :]
+        if use_mask:
+            mask = jnp.pad(mask.reshape(-1, w, w, w, w),
+                           pad5).reshape(-1, n, n)
     if not use_mask:
         mask = jnp.zeros((r * cols, n, n), x.dtype)
     mask = mask.astype(x.dtype)

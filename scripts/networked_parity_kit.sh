@@ -1,0 +1,156 @@
+#!/usr/bin/env bash
+# Networked real-data parity kit (VERDICT r3 #7): ONE command that, on a
+# networked TPU-VM, takes this repo from a fresh clone to a fold-1 mAP
+# table diffed against the reference's published numbers
+# (/root/reference/MT4MTLKD/readme.md:109-113, mirrored in BASELINE.md).
+#
+#   scripts/networked_parity_kit.sh /path/to/CholecT45 [FOLD] [EPOCHS]
+#   scripts/networked_parity_kit.sh --smoke      # offline plumbing check
+#
+# Stages:
+#   1. ivtmetrics goldens certification (pip ivtmetrics==0.0.6 +
+#      sklearn==1.0.2 -> tests/goldens/certify.py -> bit-parity test)
+#   2. fetch official ImageNet checkpoints into ./Pretrain
+#      (models/pretrained.py URLS; CvT/TResNet links need manual fetch)
+#   3. converter smoke: every fetched .pth loads + converts + merges
+#   4. full fold run (scripts/mt4mtlkd_train_fold.sh) with warm-started
+#      backbones
+#   5. diff the resulting test mAP against BASELINE.md
+#
+# --smoke exercises every offline-able step on synthetic data at nano
+# scale: a generated torch resnet18 .pth flows fetch->convert->warm-start
+# ->train->eval->diff; network-only stages report and continue.
+set -uo pipefail
+cd "$(dirname "$0")/.."
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
+
+SMOKE=0
+if [ "${1:-}" = "--smoke" ]; then SMOKE=1; shift || true; fi
+FOLD=${2:-1}
+EPOCHS=${3:-100}
+PRETRAIN_ROOT=${PRETRAIN_ROOT:-./Pretrain}
+FAILURES=0
+
+step() { printf '\n=== %s ===\n' "$*"; }
+
+# ---- 1. ivtmetrics goldens ------------------------------------------------
+step "1/5 ivtmetrics goldens certification"
+if python -c "import ivtmetrics" 2>/dev/null; then
+  python tests/goldens/certify.py && \
+    python -m pytest tests/test_ivtmetrics_crosscheck.py -q -m "" || FAILURES=1
+else
+  if [ "$SMOKE" = 1 ]; then
+    echo "ivtmetrics not installed (offline) — dual-transcription"
+    echo "cross-check stands in:"
+    python -m pytest tests/test_ivtmetrics_crosscheck.py -q -m "" || FAILURES=1
+  else
+    pip install 'ivtmetrics==0.0.6' 'scikit-learn==1.0.2' && \
+      python tests/goldens/certify.py && \
+      python -m pytest tests/test_ivtmetrics_crosscheck.py -q -m "" || FAILURES=1
+  fi
+fi
+
+# ---- 2. pretrained checkpoints ---------------------------------------------
+step "2/5 ImageNet checkpoints -> $PRETRAIN_ROOT"
+mkdir -p "$PRETRAIN_ROOT"
+if [ "$SMOKE" = 1 ]; then
+  python - <<'EOF'
+import sys, torch
+sys.path.insert(0, "tests")
+from test_convert import TorchResNet18
+from computervision_codes_tpu.models.pretrained import PTDICT
+import os
+path = os.path.join(os.environ.get("PRETRAIN_ROOT", "./Pretrain"),
+                    PTDICT["resnet18"])
+torch.save(TorchResNet18().state_dict(), path)
+print("smoke: synthetic torchvision-layout resnet18 ->", path)
+EOF
+else
+  python - <<'EOF'
+import os, urllib.request
+from computervision_codes_tpu.models.pretrained import PTDICT, URLS
+root = os.environ.get("PRETRAIN_ROOT", "./Pretrain")
+for name in ("swin_L_384_22k", "resnet18"):
+    dst = os.path.join(root, PTDICT[name])
+    if os.path.exists(dst):
+        print("have", dst)
+        continue
+    print("fetching", URLS[name])
+    urllib.request.urlretrieve(URLS[name], dst)
+print("NOTE: CvT/TResNet checkpoints have no stable direct URL — fetch "
+      "manually per the reference readme if benchmarking those backbones.")
+EOF
+fi
+
+# ---- 3. converter smoke -----------------------------------------------------
+step "3/5 converter smoke over $PRETRAIN_ROOT"
+PRETRAIN_ROOT="$PRETRAIN_ROOT" python - <<'EOF' || FAILURES=1
+import os
+import jax.numpy as jnp
+from computervision_codes_tpu.models.pretrained import PTDICT, \
+    load_backbone_variables
+root = os.environ["PRETRAIN_ROOT"]
+seen = set()
+for backbone, fn in PTDICT.items():
+    p = os.path.join(root, fn)
+    if not os.path.exists(p) or fn in seen:
+        continue
+    seen.add(fn)
+    if backbone.startswith(("tresnet", "cvt", "CvT")):
+        continue  # converters exist; smoke focuses on the fold's backbones
+    v = load_backbone_variables(backbone, p)
+    n = sum(x.size for x in __import__("jax").tree.leaves(v))
+    print(f"converted {backbone}: {n / 1e6:.1f}M params OK")
+EOF
+
+# ---- 4. fold run -------------------------------------------------------------
+step "4/5 fold $FOLD train"
+if [ "$SMOKE" = 1 ]; then
+  DATA=$(mktemp -d)/cholect45
+  python - <<EOF
+import sys
+sys.path.insert(0, ".")
+from computervision_codes_tpu.data.splits import resolve_split
+from computervision_codes_tpu.data.synthetic import write_synthetic_dataset
+split = resolve_split("cholect45-crossval", 1)
+write_synthetic_dataset("$DATA", split.all_videos, frames_per_video=2,
+                        height=32, width=56, seed=1)
+EOF
+  PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+  PRETRAIN_DIR="$PRETRAIN_ROOT" BACKBONE=swin_nano_64 TCN_EPOCHS=2 \
+  EXTRA_FLAGS="--image_height 32 --image_width 56 -b 8 --val_interval 99" \
+    bash scripts/mt4mtlkd_train_fold.sh "$DATA" 1 1 || FAILURES=1
+else
+  DATA=${1:?usage: $0 DATA_DIR [FOLD] [EPOCHS] (the registered CholecT45)}
+  PRETRAIN_DIR="$PRETRAIN_ROOT" \
+    bash scripts/mt4mtlkd_train_fold.sh "$DATA" "$FOLD" "$EPOCHS" || FAILURES=1
+fi
+
+# ---- 5. diff vs BASELINE -----------------------------------------------------
+step "5/5 mAP vs reference published numbers"
+python - <<'EOF'
+import glob, json, re, os
+# the TCN stage logs the final table; pull the last test mAP line of the
+# newest Res18TCN logfile and diff against BASELINE.md (SwinL->Res18 row)
+BASE = {"i": 89.87, "v": 70.60, "t": 50.20, "ivt": 35.88}
+logs = sorted(glob.glob("__checkpoint__/run_Res18TCN/*.log"),
+              key=os.path.getmtime)
+rows = []
+for lf in logs[-1:]:
+    for line in open(lf):
+        if "test mAP" in line:
+            rows.append(line.strip())
+if not rows:
+    print("no Res18TCN test-mAP line found — inspect the stage-4 logs")
+else:
+    print("got:", rows[-1])
+    print("reference (MT4MTLKD/readme.md:112):",
+          json.dumps({k: v for k, v in BASE.items()}))
+    print("PASS if each component is within ~1 mAP of the reference "
+          "(seed-to-seed spread in the reference's own recipe)")
+EOF
+
+if [ "$FAILURES" != 0 ]; then
+  echo "KIT COMPLETED WITH FAILURES (see above)"; exit 1
+fi
+echo "KIT COMPLETE"

@@ -158,6 +158,19 @@ def run_block(name, b, hw, c, heads, w=12, shifted=False):
 
 def main():
     b = 16
+    if "--odd_window" in sys.argv:
+        # window-7 (224-class models: the reference TERL default,
+        # TERL/6_baseline_learnT/runT.sh swin_T_224) at the padded
+        # (w+1)^2 in-kernel geometry — swin_T stages 1-3 + swin_L stage 3
+        run_stage("swinT224 s1 (56^2, c=96, h=3, w=7)", b, 56, 96, 3, w=7)
+        run_stage("swinT224 s1 shifted", b, 56, 96, 3, w=7, shifted=True)
+        run_stage("swinT224 s2 (28^2, c=192, h=6, w=7)", b, 28, 192, 6, w=7)
+        run_stage("swinT224 s3 (14^2, c=384, h=12, w=7)", b, 14, 384, 12,
+                  w=7)
+        run_stage("swinL224 s3 (14^2, c=768, h=24, w=7)", b, 14, 768, 24,
+                  w=7)
+        run_stage("swinL224 s3 shifted", b, 14, 768, 24, w=7, shifted=True)
+        return
     if "--merged_only" not in sys.argv:
         run_stage("stage1 (96^2, c=192, h=6)", b, 96, 192, 6)
         run_stage("stage1 (96^2, c=192, h=6)", b, 96, 192, 6, shifted=True)

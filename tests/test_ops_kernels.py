@@ -527,3 +527,54 @@ def test_swin_fused_train_grad_matches_xla(rng):
         np.testing.assert_allclose(
             np.asarray(af), np.asarray(ax), atol=5e-5,
             err_msg=jax.tree_util.keystr(kx))
+
+
+def test_window_mhsa_fused_odd_window(rng):
+    """Odd windows (the 224-class models' window 7) run at a padded
+    (w+1)^2 in-kernel geometry with -1e9-killed padded keys; parity vs the
+    unpadded XLA reference, with and without the shift mask."""
+    import jax.numpy as jnp
+
+    from computervision_codes_tpu.models.swin import _shift_attn_mask
+    from computervision_codes_tpu.ops.window_mhsa import (
+        window_mhsa_fused,
+        window_mhsa_reference,
+    )
+
+    b, hw, c, heads, w = 1, 14, 64, 2, 7
+    n = w * w
+    x = jnp.asarray(rng.standard_normal((b, hw, hw, c)), jnp.float32)
+    gamma = jnp.asarray(1 + 0.1 * rng.standard_normal(c), jnp.float32)
+    beta = jnp.asarray(0.1 * rng.standard_normal(c), jnp.float32)
+    wqkv = jnp.asarray(rng.standard_normal((c, 3 * c)) * 0.1, jnp.float32)
+    bqkv = jnp.asarray(rng.standard_normal(3 * c) * 0.01, jnp.float32)
+    wproj = jnp.asarray(rng.standard_normal((c, c)) * 0.1, jnp.float32)
+    bproj = jnp.asarray(rng.standard_normal(c) * 0.01, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((heads, n, n)) * 0.1, jnp.float32)
+    for mask in (None, jnp.asarray(_shift_attn_mask(hw, hw, w, 3))):
+        want = window_mhsa_reference(x, gamma, beta, wqkv, bqkv, wproj,
+                                     bproj, bias, mask, window=w,
+                                     num_heads=heads)
+        got = window_mhsa_fused(x, gamma, beta, wqkv, bqkv, wproj, bproj,
+                                bias, mask, window=w, num_heads=heads)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
+
+
+def test_swin_224_fused_eval_matches_xla(rng):
+    """A window-7 Swin (the TERL default family, swin_T_224 geometry at
+    nano scale) through the fused eval path == the pure-XLA model."""
+    import jax
+    import jax.numpy as jnp
+
+    from computervision_codes_tpu.models.swin import SwinTransformer
+
+    kw = dict(embed_dim=32, depths=(2, 2), num_heads=(2, 4), window_size=7,
+              num_classes=0)
+    img = jnp.asarray(rng.standard_normal((1, 56, 56, 3)), jnp.float32)
+    xla = SwinTransformer(fused_eval=False, **kw)
+    v = xla.init(jax.random.PRNGKey(0), img)
+    want = xla.apply(v, img)["pooled"]
+    fused = SwinTransformer(fused_eval=True, **kw)
+    got = fused.apply(v, img)["pooled"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
