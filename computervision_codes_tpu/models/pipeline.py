@@ -35,6 +35,8 @@ class EndToEndRecognizer(nn.Module):
     num_refinements: int = 3
     num_f_maps: int = 512
     causal: bool = False  # True = online-capable head (StreamingSession)
+    s2d_stem: bool = False  # space-to-depth conv1 execution plan (same
+    # params/math — models/resnet._s2d_conv1; serving-path A/B)
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -42,6 +44,7 @@ class EndToEndRecognizer(nn.Module):
         b, t, h, w, c = clips.shape
         sizes, block = RESNET_VARIANTS[self.network]
         backbone = ResNet(stage_sizes=sizes, block_cls=block,
+                          s2d_stem=self.s2d_stem,
                           dtype=self.dtype, name="backbone")
         frames = clips.reshape(b * t, h, w, c)
         feats = backbone(frames, train=train)["pooled"]  # (B*T, D)

@@ -24,6 +24,7 @@ from __future__ import annotations
 from functools import partial
 from typing import Any, Callable, Dict, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -116,20 +117,54 @@ class Bottleneck(nn.Module):
         return nn.relu(out + identity)
 
 
+def _s2d_conv1(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """The torch-resnet stem conv (7x7, stride 2, pad 3) re-expressed as a
+    4x4 stride-1 VALID conv over a 2x2 space-to-depth input.
+
+    Identical multiply-adds on the SAME conv1 kernel (a trace-time weight
+    remap, not new params): tap (dy, dx) maps to spatial (dy//2, dx//2)
+    and input channel (dy%2, dx%2, c), so C_in goes 3 -> 12 and the
+    stride folds away — the MXU sees a dense stride-1 conv instead of the
+    C_in=3 stride-2 one it runs at ~40% peak (docs/BENCH.md round-3 stem
+    roofline; the TResNet trick, generalized to a non-s2d-native stem).
+    Requires even H, W (the serving geometry 256x448 is).
+    """
+    b, h, w, c = x.shape
+    oc = kernel.shape[-1]
+    x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+    hp, wp = h + 6, w + 6
+    xs = x.reshape(b, hp // 2, 2, wp // 2, 2, c)
+    xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp // 2, wp // 2, 4 * c)
+    kpad = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))  # zero tap 7
+    k2 = kpad.reshape(4, 2, 4, 2, c, oc).transpose(0, 2, 1, 3, 4, 5)
+    k2 = k2.reshape(4, 4, 4 * c, oc)
+    return jax.lax.conv_general_dilated(
+        xs, k2.astype(xs.dtype), window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class ResNet(nn.Module):
     """Headless ResNet returning stage feature maps + pooled feature."""
 
     stage_sizes: Sequence[int]
     block_cls: Any
     frozen_bn: bool = False
+    s2d_stem: bool = False  # space-to-depth execution plan for conv1
+    # (same params/math; serving-path A/B — see _s2d_conv1)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> Dict[str, Any]:
         norm = _norm(self.frozen_bn, self.dtype)
         x = x.astype(self.dtype)
-        x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
-                    dtype=self.dtype, kernel_init=_conv_init, name="conv1")(x)
+        if (self.s2d_stem and not self.is_initializing()
+                and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+            kernel = self.get_variable("params", "conv1")["kernel"]
+            x = _s2d_conv1(x, kernel.astype(self.dtype))
+        else:
+            x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
+                        dtype=self.dtype, kernel_init=_conv_init,
+                        name="conv1")(x)
         x = norm(name="bn1")(x, use_running_average=not train)
         x = nn.relu(x)
         # torch MaxPool2d(3, stride=2, padding=1); flax max_pool pads with
@@ -162,12 +197,13 @@ VARIANTS: Dict[str, Tuple[Sequence[int], Any]] = {
 
 
 def build_resnet(name: str, frozen_bn: bool = False,
-                 dtype: jnp.dtype = jnp.float32) -> ResNet:
+                 dtype: jnp.dtype = jnp.float32,
+                 s2d_stem: bool = False) -> ResNet:
     if name not in VARIANTS:
         raise ValueError(f"unknown resnet variant {name!r}; one of {list(VARIANTS)}")
     sizes, block = VARIANTS[name]
     return ResNet(stage_sizes=sizes, block_cls=block, frozen_bn=frozen_bn,
-                  dtype=dtype)
+                  s2d_stem=s2d_stem, dtype=dtype)
 
 
 def feature_dim(name: str) -> int:

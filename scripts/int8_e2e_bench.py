@@ -70,6 +70,16 @@ def main():
                       "fps": round(fps_s, 1), "checksum": round(chk_s, 4),
                       "speedup_vs_bf16": round(fps_s / fps_f, 3)}))
 
+    # round 4: space-to-depth stem execution plan (same math, C_in 3->12)
+    fn_sd, qvars_sd = make_int8_e2e(model, variables,
+                                    calibrate_clips=stacked[0, :1, :32],
+                                    s2d_stem=True)
+    fps_sd, chk_sd = chained(fn_sd, (qvars_sd, stacked), n_bufs, iters,
+                             batch * clip_len)
+    print(json.dumps({"path": "int8 static + s2d stem",
+                      "fps": round(fps_sd, 1), "checksum": round(chk_sd, 4),
+                      "speedup_vs_static": round(fps_sd / fps_s, 3)}))
+
 
 if __name__ == "__main__":
     main()

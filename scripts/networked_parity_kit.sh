@@ -118,7 +118,7 @@ write_synthetic_dataset("$DATA", split.all_videos, frames_per_video=2,
 EOF
   PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
   PRETRAIN_DIR="$PRETRAIN_ROOT" BACKBONE=swin_nano_64 TCN_EPOCHS=2 \
-  EXTRA_FLAGS="--image_height 32 --image_width 56 -b 8 --val_interval 99" \
+  EXTRA_FLAGS="--image_height 32 --image_width 56 -b 8 --val_interval 99 --teacher_dim 256" \
     bash scripts/mt4mtlkd_train_fold.sh "$DATA" 1 1 || FAILURES=1
 else
   DATA=${1:?usage: $0 DATA_DIR [FOLD] [EPOCHS] (the registered CholecT45)}

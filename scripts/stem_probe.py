@@ -46,6 +46,36 @@ def main():
         (x,))
     report(f"stem conv 7x7/s2 int8 (b={B})", s, flops, peak=394e12)
 
+    # round 4: space-to-depth execution plan (models/resnet._s2d_conv1) —
+    # C_in 3 -> 12, stride folds away; same multiply-adds
+    from computervision_codes_tpu.models.resnet import _s2d_conv1
+
+    s = timed_scan(lambda x: _s2d_conv1(x, w).astype(jnp.float32).mean(),
+                   (x,))
+    report(f"stem conv as s2d 4x4/s1 12ch bf16 (b={B})", s, flops)
+    # int8 variant of the s2d plan (round-3 int8-stem negative was at
+    # C_in=3; 12 channels may flip the sign)
+    w2i = None
+
+    def s2d_int8(x):
+        b_, h_, w_, c_ = x.shape
+        xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+        xs = xp.reshape(b_, (h_ + 6) // 2, 2, (w_ + 6) // 2, 2, c_)
+        xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(
+            b_, (h_ + 6) // 2, (w_ + 6) // 2, 4 * c_)
+        kpad = jnp.pad(w, ((0, 1), (0, 1), (0, 0), (0, 0)))
+        k2 = kpad.reshape(4, 2, 4, 2, 3, 64).transpose(0, 2, 1, 3, 4, 5)
+        k2 = (k2.reshape(4, 4, 12, 64) * 100).astype(jnp.int8)
+        out = jax.lax.conv_general_dilated(
+            (xs * 16).astype(jnp.int8), k2, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        return out.astype(jnp.float32).mean()
+
+    s = timed_scan(s2d_int8, (x,))
+    report(f"stem conv as s2d 4x4/s1 12ch int8 (b={B})", s, flops,
+           peak=394e12)
+
     # im2col via conv_general_dilated_patches + GEMM
     wm = w.reshape(-1, 64)
 

@@ -129,3 +129,26 @@ def test_tcn_hier_pyramid(rng):
     # FPN upsamples everything back to each level's own length; levels
     # shrink by the (k7, s3) pooling between refinements
     assert lengths[0] == 100 and lengths[1] < 100 and lengths[3] < lengths[2]
+
+
+def test_resnet_s2d_stem_equivalent(rng):
+    """The space-to-depth conv1 execution plan (models/resnet._s2d_conv1)
+    is the SAME function on the SAME params as the 7x7/2 stem — and falls
+    back to the plain conv on odd spatial sizes."""
+    import jax
+
+    from computervision_codes_tpu.models.resnet import build_resnet
+
+    base = build_resnet("resnet18")
+    s2d = build_resnet("resnet18", s2d_stem=True)
+    x = jnp.asarray(rng.standard_normal((2, 32, 56, 3)), jnp.float32)
+    v = base.init(jax.random.PRNGKey(0), x)
+    want = base.apply(v, x, mutable=False)["pooled"]
+    got = s2d.apply(v, x, mutable=False)["pooled"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    xo = jnp.asarray(rng.standard_normal((1, 31, 55, 3)), jnp.float32)
+    want_o = base.apply(v, xo, mutable=False)["pooled"]
+    got_o = s2d.apply(v, xo, mutable=False)["pooled"]  # fallback path
+    np.testing.assert_allclose(np.asarray(got_o), np.asarray(want_o),
+                               atol=2e-5)

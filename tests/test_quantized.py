@@ -165,3 +165,24 @@ def test_int8_tresnet_pooled_parity(rng):
         cos = float(jnp.sum(want * got)
                     / (jnp.linalg.norm(want) * jnp.linalg.norm(got)))
         assert cos > 0.99, cos
+
+
+def test_int8_s2d_stem_tracks_float(rng):
+    """The s2d stem execution plan in the int8 e2e path: float-model
+    fidelity is preserved (the two int8 plans differ bit-wise — a stem
+    reorder flips activation rounding bins that cascade — so the guard is
+    correlation to FLOAT, like the main int8 guard, not int8-vs-int8)."""
+    import jax
+
+    from computervision_codes_tpu.models.pipeline import EndToEndRecognizer
+    from computervision_codes_tpu.models.quantized import make_int8_e2e
+
+    model = EndToEndRecognizer(num_layers_pg=3, num_layers_r=2,
+                               num_refinements=1, num_f_maps=8,
+                               dtype=jnp.float32)
+    clips = jnp.asarray(rng.standard_normal((1, 4, 32, 56, 3)), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), clips)
+    want = np.asarray(model.apply(v, clips)["ivt"]).ravel()
+    fn, q = make_int8_e2e(model, v, calibrate_clips=clips, s2d_stem=True)
+    got = np.asarray(fn(q, clips)["ivt"]).ravel()
+    assert np.corrcoef(got, want)[0, 1] > 0.995
