@@ -56,6 +56,34 @@ class CholecDataset:
                 labels=load_video_labels(self.dataset_dir, name))
         return self._videos[name]
 
+    def container(self, name: str):
+        """Native VideoReader when the video ships as an MJPEG container
+        (``<root>/data/VIDxx.avi`` in place of the reference's
+        ``<root>/data/VIDxx/`` PNG dir — MT4MTLKD/readme.md:30-89); None
+        for the stills layout. Requires the native plane
+        (native/build.sh)."""
+        if not hasattr(self, "_containers"):
+            self._containers = {}
+        if name not in self._containers:
+            import os
+
+            from . import native as native_mod
+
+            reader = None
+            for ext in (".avi", ".mjpg"):
+                p = os.path.join(self.dataset_dir, "data", name + ext)
+                if os.path.exists(p):
+                    if not native_mod.video_supported():
+                        raise RuntimeError(
+                            f"{p} needs the native data plane — run "
+                            "native/build.sh")
+                    r = native_mod.VideoReader(p)
+                    if r.height > 0 and r.width > 0:
+                        reader = r
+                    break
+            self._containers[name] = reader
+        return self._containers[name]
+
     def attach_teachers(self, store: FeatureStore, pred_store: FeatureStore,
                         fold: int, videos: Sequence[str]) -> None:
         """Load the 6 teacher artifacts for the KD student train split."""
@@ -83,7 +111,12 @@ class CholecDataset:
         lab = vd.labels
         item: Dict[str, np.ndarray] = {}
         if decode:
-            img = Image.open(lab.frame_path(self.dataset_dir, row))
+            vr = self.container(video)
+            if vr is not None:
+                img = Image.fromarray(
+                    vr.read_u8([row], (vr.height, vr.width), n_threads=1)[0])
+            else:
+                img = Image.open(lab.frame_path(self.dataset_dir, row))
             if rng is not None:
                 arr = T.train_transform(rng, img, self.image_size,
                                         self.augmentation_list)
@@ -160,13 +193,28 @@ def batch_iterator(dataset: CholecDataset, videos: Sequence[str],
                 ]
                 batch = _collate(items)
                 if use_native:
-                    # GIL-free multithreaded decode of the whole chunk
+                    # GIL-free multithreaded decode of the whole chunk;
+                    # container videos decode by frame index, stills by path
                     from . import native as native_mod
 
-                    paths = [dataset.video(v).labels.frame_path(
-                        dataset.dataset_dir, i) for v, i in chunk]
-                    batch["image"] = native_mod.decode_batch(
-                        paths, dataset.image_size)
+                    h, w = dataset.image_size
+                    imgs = np.empty((len(chunk), h, w, 3), np.float32)
+                    by_vid: Dict[str, list] = {}
+                    for pos, (v, i) in enumerate(chunk):
+                        by_vid.setdefault(v, []).append((pos, i))
+                    for v, lst in by_vid.items():
+                        vr = dataset.container(v)
+                        if vr is not None:
+                            arr = vr.read([i for _, i in lst],
+                                          dataset.image_size)
+                        else:
+                            paths = [dataset.video(v).labels.frame_path(
+                                dataset.dataset_dir, i) for _, i in lst]
+                            arr = native_mod.decode_batch(
+                                paths, dataset.image_size)
+                        for (pos, _), a in zip(lst, arr):
+                            imgs[pos] = a
+                    batch["image"] = imgs
                 n = len(chunk)
                 if pad_last and n < batch_size:
                     pad = batch_size - n

@@ -49,6 +49,7 @@ def write_synthetic_dataset(
     seed: int = 0,
     frame_stride: int = 25,
     write_images: bool = True,
+    container: bool = False,
 ) -> str:
     """Create a synthetic dataset at ``root`` and return it.
 
@@ -67,10 +68,17 @@ def write_synthetic_dataset(
         labels = synthetic_labels(vid_rng, frames_per_video)
         frame_ids = np.arange(frames_per_video) * frame_stride
         img_dir = os.path.join(root, "data", video)
-        if write_images:
+        if write_images and container:
+            # MJPEG-in-AVI layout: <root>/data/VIDxx.avi, frame k = label
+            # row k (the native-plane ingest path, data/native.VideoReader)
+            os.makedirs(os.path.join(root, "data"), exist_ok=True)
+            frames = np.stack([synthetic_frame(vid_rng, height, width)
+                               for _ in frame_ids])
+            write_mjpeg_avi(img_dir + ".avi", frames)
+        elif write_images:
             os.makedirs(img_dir, exist_ok=True)
         for f, fid in enumerate(frame_ids):
-            if write_images:
+            if write_images and not container:
                 img = Image.fromarray(synthetic_frame(vid_rng, height, width))
                 img.save(os.path.join(img_dir, "{}.png".format(str(int(fid)).zfill(6))))
         for task, subdir in (("triplet", "triplet"), ("tool", "instrument"),

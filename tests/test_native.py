@@ -162,3 +162,34 @@ def test_video_reader_rejects_non_video(tmp_path):
     open(p, "wb").write(b"not a video at all, just bytes")
     with pytest.raises(IOError):
         native.VideoReader(p)
+
+
+def test_container_dataset_pipeline(tmp_path, rng):
+    """An MJPEG-AVI dataset layout (<root>/data/VIDxx.avi in place of the
+    reference's PNG dirs) flows through CholecDataset + batch_iterator:
+    train (PIL-wrapped container frames) and eval (native index decode)."""
+    import jax
+
+    from computervision_codes_tpu.data.pipeline import (CholecDataset,
+                                                        batch_iterator)
+    from computervision_codes_tpu.data.synthetic import write_synthetic_dataset
+
+    if not native.video_supported():
+        pytest.skip("libdataplane.so predates dp_video_*")
+    root = str(tmp_path / "ds")
+    vids = ["VID01", "VID02"]
+    write_synthetic_dataset(root, vids, frames_per_video=4, height=32,
+                            width=56, container=True)
+    assert not (tmp_path / "ds" / "data" / "VID01").exists()
+
+    ds = CholecDataset(root, image_size=(24, 40))
+    # train path: container frame -> PIL -> augmentations
+    item = ds.load_frame("VID01", 2, rng=np.random.default_rng(0))
+    assert item["image"].shape == (24, 40, 3)
+    # eval path (native batch decode by frame index, mixed videos)
+    seen = 0
+    for batch in batch_iterator(ds, vids, batch_size=3, train=False):
+        assert batch["image"].shape[1:] == (24, 40, 3)
+        assert np.isfinite(batch["image"]).all()
+        seen += int(batch["valid"].sum())
+    assert seen == 8
