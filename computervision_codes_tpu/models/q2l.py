@@ -184,6 +184,8 @@ class Q2L(nn.Module):
     drop_path_rate: float = 0.1
     remat: bool = False  # rematerialize Swin blocks — SwinL-384 training
     # at useful batch sizes needs it on one chip (see scripts/train_bench)
+    remat_policy: str = ""  # "" save-nothing | "dots" GEMM-saveable
+    # (models/swin.py remat_policy; train-step A/B q2l_dots)
     quant_eval: bool = False  # int8-MXU GEMMs in the Swin fused kernels
     # (PTQ, dims >= quant_min_dim) — the int8 teacher serving config
     quant_min_dim: int = 768
@@ -216,6 +218,7 @@ class Q2L(nn.Module):
             bb = SwinTransformer(num_classes=0,
                                  drop_path_rate=self.drop_path_rate,
                                  remat=self.remat,
+                                 remat_policy=self.remat_policy,
                                  quant_eval=self.quant_eval,
                                  quant_min_dim=self.quant_min_dim,
                                  fused_eval=self.fused_eval,

@@ -401,6 +401,11 @@ class SwinTransformer(nn.Module):
     num_classes: int = 0  # 0 = headless (Q2L strips the head)
     remat: bool = False  # rematerialize blocks (jax.checkpoint) — trades
     # FLOPs for HBM so SwinL-384 trains on one chip at useful batch sizes
+    remat_policy: str = ""  # "" = save-nothing (recompute everything in
+    # backward); "dots" = dots_with_no_batch_dims_saveable — GEMM outputs
+    # stay resident so the backward skips recomputing the MXU work and
+    # only replays the cheap elementwise chain (train-step A/B,
+    # scripts/train_bench.py q2l_dots)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -415,8 +420,13 @@ class SwinTransformer(nn.Module):
 
         total = sum(self.depths)
         dpr = np.linspace(0, self.drop_path_rate, total)
-        block_cls = nn.remat(SwinBlock, static_argnums=(2,)) if self.remat \
-            else SwinBlock
+        if self.remat:
+            policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                      if self.remat_policy == "dots" else None)
+            block_cls = nn.remat(SwinBlock, static_argnums=(2,),
+                                 policy=policy)
+        else:
+            block_cls = SwinBlock
         bi = 0
         for si, depth in enumerate(self.depths):
             dim = self.embed_dim * (2 ** si)

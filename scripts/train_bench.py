@@ -89,7 +89,7 @@ def main(batch=32, iters=10):
                f"(b={batch}, 256x448, full hard+soft+MSE mix)", dt, batch)
 
 
-def q2l_teacher(batch=8, iters=6, fused_train=False):
+def q2l_teacher(batch=8, iters=6, fused_train=False, remat_policy=""):
     """Q2L SwinL-384 component-teacher train step (the heaviest stage the
     reference trains, Spatial_transformer/run.py:423-480). ``fused_train``
     routes the forward (and the remat replay) through the Pallas kernels
@@ -102,7 +102,8 @@ def q2l_teacher(batch=8, iters=6, fused_train=False):
 
     rng = np.random.default_rng(0)
     model = Q2L(backbone="swin_L_384_22k", loss_type="i",
-                dtype=jnp.bfloat16, remat=True, fused_train=fused_train)
+                dtype=jnp.bfloat16, remat=True, fused_train=fused_train,
+                remat_policy=remat_policy)
     tx = build_sgd(1e-2, weight_decay=1e-5)
     state = create_train_state(model, tx, jax.random.PRNGKey(0),
                                (jnp.zeros((1, 384, 384, 3), jnp.float32),))
@@ -130,6 +131,7 @@ def q2l_teacher(batch=8, iters=6, fused_train=False):
 
     dt = timed_steps(run, state, batch_data, iters)
     report(f"Q2L SwinL-384 teacher train step bf16 (b={batch}, remat"
+           f"{':' + remat_policy if remat_policy else ''}"
            f"{', fused_train' if fused_train else ''})", dt, batch)
 
 
@@ -263,6 +265,13 @@ if __name__ == "__main__":
     if "q2l_fused" in sys.argv[1:]:
         q2l_teacher(fused_train=True)
         sys.argv.remove("q2l_fused")
+    if "q2l_dots" in sys.argv[1:]:
+        # GEMM-saveable remat: backward replays only the elementwise chain
+        q2l_teacher(remat_policy="dots")
+        sys.argv.remove("q2l_dots")
+    if "q2l_dots_fused" in sys.argv[1:]:
+        q2l_teacher(remat_policy="dots", fused_train=True)
+        sys.argv.remove("q2l_dots_fused")
         if len(sys.argv) == 1:
             sys.exit(0)
     rows = sys.argv[1:] or list(ROWS)
