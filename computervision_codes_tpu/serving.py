@@ -60,7 +60,7 @@ class InferenceSession:
 
     @staticmethod
     def _build(model, variables, batch, clip_len, height, width,
-               apply_fn=None):
+               apply_fn=None, mesh=None):
         mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
         std = jnp.asarray(IMAGENET_STD, jnp.float32)
         apply_fn = apply_fn or model.apply
@@ -78,8 +78,27 @@ class InferenceSession:
 
         var_shapes = jax.tree.map(
             lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), variables)
+        if mesh is not None:
+            # multi-chip batch parallelism: clips sharded over the data
+            # axis, variables replicated — per-clip inference is
+            # embarrassingly parallel, so throughput scales with chips and
+            # no collective appears in the program (GSPMD just partitions)
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            n_data = mesh.shape.get("data", 1)
+            if batch % n_data:
+                raise ValueError(f"batch {batch} must divide the mesh data "
+                                 f"axis ({n_data})")
+            rep = NamedSharding(mesh, PartitionSpec())
+            dat = NamedSharding(mesh, PartitionSpec("data"))
+            jitted = jax.jit(
+                forward, static_argnums=(2,), donate_argnums=(1,),
+                in_shardings=(jax.tree.map(lambda a: rep, variables), dat),
+                out_shardings=dat)
+        else:
+            jitted = jax.jit(forward, static_argnums=(2,),
+                             donate_argnums=(1,))
         # AOT compile both input dtypes for the fixed serving shape
-        jitted = jax.jit(forward, static_argnums=(2,), donate_argnums=(1,))
         compiled = {}
         for dtype, normalize in ((jnp.uint8, True), (jnp.bfloat16, False)):
             shape = jax.ShapeDtypeStruct(
@@ -92,7 +111,7 @@ class InferenceSession:
     def create(cls, batch: int = 4, clip_len: int = 256, height: int = 256,
                width: int = 448, network: str = "resnet18",
                variables: Optional[dict] = None, quantize: bool = False,
-               calibrate_clips=None) -> "InferenceSession":
+               calibrate_clips=None, mesh=None) -> "InferenceSession":
         """``quantize=True`` serves the int8-PTQ backbone (models/quantized:
         +25% throughput on-chip with calibrated static scales). Pass
         ``calibrate_clips`` — NORMALIZED representative frames (B,T,H,W,3)
@@ -117,7 +136,7 @@ class InferenceSession:
                                       calibrate_clips=calibrate_clips)
             variables, apply_fn = qvars, fn
         compiled = cls._build(model, variables, batch, clip_len, height,
-                              width, apply_fn=apply_fn)
+                              width, apply_fn=apply_fn, mesh=mesh)
         return cls(compiled=compiled, variables=variables, batch=batch,
                    clip_len=clip_len, height=height, width=width)
 

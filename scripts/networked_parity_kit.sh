@@ -105,6 +105,7 @@ EOF
 
 # ---- 4. fold run -------------------------------------------------------------
 step "4/5 fold $FOLD train"
+FOLD_LOG=$(mktemp)
 if [ "$SMOKE" = 1 ]; then
   DATA=$(mktemp -d)/cholect45
   python - <<EOF
@@ -119,33 +120,29 @@ EOF
   PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
   PRETRAIN_DIR="$PRETRAIN_ROOT" BACKBONE=swin_nano_64 TCN_EPOCHS=2 \
   EXTRA_FLAGS="--image_height 32 --image_width 56 -b 8 --val_interval 99 --teacher_dim 256" \
-    bash scripts/mt4mtlkd_train_fold.sh "$DATA" 1 1 || FAILURES=1
+    bash scripts/mt4mtlkd_train_fold.sh "$DATA" 1 1 2>&1 | tee "$FOLD_LOG" \
+    || FAILURES=1
 else
   DATA=${1:?usage: $0 DATA_DIR [FOLD] [EPOCHS] (the registered CholecT45)}
   PRETRAIN_DIR="$PRETRAIN_ROOT" \
-    bash scripts/mt4mtlkd_train_fold.sh "$DATA" "$FOLD" "$EPOCHS" || FAILURES=1
+    bash scripts/mt4mtlkd_train_fold.sh "$DATA" "$FOLD" "$EPOCHS" 2>&1 \
+    | tee "$FOLD_LOG" || FAILURES=1
 fi
 
 # ---- 5. diff vs BASELINE -----------------------------------------------------
 step "5/5 mAP vs reference published numbers"
-python - <<'EOF'
-import glob, json, re, os
-# the TCN stage logs the final table; pull the last test mAP line of the
-# newest Res18TCN logfile and diff against BASELINE.md (SwinL->Res18 row)
+FOLD_LOG="$FOLD_LOG" python - <<'EOF'
+import json, os
+# the final stage's (temporal TCN student) last test-mAP line IS the
+# published-table protocol; diff against BASELINE.md (SwinL->Res18 row)
 BASE = {"i": 89.87, "v": 70.60, "t": 50.20, "ivt": 35.88}
-logs = sorted(glob.glob("__checkpoint__/run_Res18TCN/*.log"),
-              key=os.path.getmtime)
-rows = []
-for lf in logs[-1:]:
-    for line in open(lf):
-        if "test mAP" in line:
-            rows.append(line.strip())
+rows = [ln.strip() for ln in open(os.environ["FOLD_LOG"])
+        if ln.startswith("test mAP:")]
 if not rows:
-    print("no Res18TCN test-mAP line found — inspect the stage-4 logs")
+    print("no test-mAP line in the fold output — inspect stage 4")
 else:
-    print("got:", rows[-1])
-    print("reference (MT4MTLKD/readme.md:112):",
-          json.dumps({k: v for k, v in BASE.items()}))
+    print("fold result (final stage):", rows[-1])
+    print("reference (MT4MTLKD/readme.md:112):", json.dumps(BASE))
     print("PASS if each component is within ~1 mAP of the reference "
           "(seed-to-seed spread in the reference's own recipe)")
 EOF

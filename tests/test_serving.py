@@ -204,3 +204,30 @@ def test_teacher_session():
 
     with pytest.raises(ValueError):
         sess.predict(np.zeros((1, 64, 64, 3), np.uint8))
+
+
+def test_inference_session_mesh_matches_single(rng):
+    """Data-parallel serving (batch sharded over the mesh's data axis,
+    variables replicated): identical probabilities to the single-device
+    session — per-clip inference partitions with no collectives."""
+    import jax
+
+    from computervision_codes_tpu.parallel.mesh import make_mesh
+
+    kw = dict(batch=4, clip_len=2, height=32, width=56)
+    single = InferenceSession.create(**kw)
+    mesh = make_mesh(n_data=4, devices=jax.devices()[:4])
+    sharded = InferenceSession.create(mesh=mesh,
+                                      variables=single.variables, **kw)
+    clips = rng.integers(0, 256, (4, 2, 32, 56, 3)).astype(np.uint8)
+    want = single.predict(clips.copy())
+    got = sharded.predict(clips)
+    for k in want:
+        # partitioning changes conv/reduce tiling, and the random-init
+        # bf16 TCN chain amplifies that ~1e-3 relative noise — guard by
+        # correlation + bound, like the int8 fidelity tests
+        assert np.corrcoef(got[k].ravel(), want[k].ravel())[0, 1] > 0.999
+        assert np.abs(got[k] - want[k]).max() < 0.1
+    with pytest.raises(ValueError):
+        InferenceSession.create(mesh=mesh, batch=3, clip_len=2,
+                                height=32, width=56)
