@@ -57,6 +57,9 @@ class InferenceSession:
     clip_len: int
     height: int
     width: int
+    # (jitted forward, var ShapeDtypeStructs) kept for export(); None for
+    # sessions restored via load_exported or built over a mesh
+    exportable: Optional[tuple] = None
 
     @staticmethod
     def _build(model, variables, batch, clip_len, height, width,
@@ -105,7 +108,8 @@ class InferenceSession:
                 (batch, clip_len, height, width, 3), dtype)
             compiled[normalize] = jitted.lower(var_shapes, shape,
                                                normalize).compile()
-        return compiled
+        return compiled, (None if mesh is not None
+                          else (jitted, var_shapes))
 
     @classmethod
     def create(cls, batch: int = 4, clip_len: int = 256, height: int = 256,
@@ -135,10 +139,12 @@ class InferenceSession:
             fn, qvars = make_int8_e2e(model, variables,
                                       calibrate_clips=calibrate_clips)
             variables, apply_fn = qvars, fn
-        compiled = cls._build(model, variables, batch, clip_len, height,
-                              width, apply_fn=apply_fn, mesh=mesh)
+        compiled, exportable = cls._build(model, variables, batch, clip_len,
+                                          height, width, apply_fn=apply_fn,
+                                          mesh=mesh)
         return cls(compiled=compiled, variables=variables, batch=batch,
-                   clip_len=clip_len, height=height, width=width)
+                   clip_len=clip_len, height=height, width=width,
+                   exportable=exportable)
 
     @classmethod
     def from_checkpoint(cls, directory: str, modelname: str, **kwargs
@@ -170,6 +176,65 @@ class InferenceSession:
                 f"got {clips.shape}")
         out = self.compiled[normalize](self.variables, clips)
         return {k: np.asarray(v) for k, v in out.items()}
+
+    def export(self, path: str) -> str:
+        """Serialize the serving program + weights as a deployment artifact.
+
+        Writes ``fwd_norm{0,1}.jaxexport`` (jax.export StableHLO modules —
+        versioned, loadable by a newer jax without retracing the model
+        code), ``variables.msgpack`` and ``meta.json`` to ``path``. The
+        reference's deployment artifact is a bare state_dict .pth that
+        still needs the model code (readme.md:96-106); this is the
+        TPU-native equivalent of a frozen servable. Restore with
+        ``InferenceSession.load_exported(path)``."""
+        import json
+        import os
+
+        from flax import serialization
+        from jax import export as jexport
+
+        if self.exportable is None:
+            raise ValueError("session is not exportable (mesh-sharded or "
+                             "itself restored from an export)")
+        jitted, var_shapes = self.exportable
+        os.makedirs(path, exist_ok=True)
+        for normalize in (True, False):
+            dtype = jnp.uint8 if normalize else jnp.bfloat16
+            shape = jax.ShapeDtypeStruct(
+                (self.batch, self.clip_len, self.height, self.width, 3),
+                dtype)
+            exp = jexport.export(jitted)(var_shapes, shape, normalize)
+            with open(os.path.join(path,
+                                   f"fwd_norm{int(normalize)}.jaxexport"),
+                      "wb") as fh:
+                fh.write(exp.serialize())
+        with open(os.path.join(path, "variables.msgpack"), "wb") as fh:
+            fh.write(serialization.to_bytes(self.variables))
+        with open(os.path.join(path, "meta.json"), "w") as fh:
+            json.dump({"batch": self.batch, "clip_len": self.clip_len,
+                       "height": self.height, "width": self.width}, fh)
+        return path
+
+    @classmethod
+    def load_exported(cls, path: str) -> "InferenceSession":
+        """Restore an exported servable — no model code retracing."""
+        import json
+        import os
+
+        from flax import serialization
+        from jax import export as jexport
+
+        meta = json.load(open(os.path.join(path, "meta.json")))
+        blob = open(os.path.join(path, "variables.msgpack"), "rb").read()
+        variables = serialization.msgpack_restore(bytearray(blob))
+        compiled = {}
+        for normalize in (True, False):
+            with open(os.path.join(path,
+                                   f"fwd_norm{int(normalize)}.jaxexport"),
+                      "rb") as fh:
+                exp = jexport.deserialize(bytearray(fh.read()))
+            compiled[normalize] = (lambda e: lambda v, c: e.call(v, c))(exp)
+        return cls(compiled=compiled, variables=variables, **meta)
 
 
 @dataclass

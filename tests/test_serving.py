@@ -206,6 +206,7 @@ def test_teacher_session():
         sess.predict(np.zeros((1, 64, 64, 3), np.uint8))
 
 
+@pytest.mark.slow
 def test_inference_session_mesh_matches_single(rng):
     """Data-parallel serving (batch sharded over the mesh's data axis,
     variables replicated): identical probabilities to the single-device
@@ -231,3 +232,23 @@ def test_inference_session_mesh_matches_single(rng):
     with pytest.raises(ValueError):
         InferenceSession.create(mesh=mesh, batch=3, clip_len=2,
                                 height=32, width=56)
+
+
+@pytest.mark.slow
+def test_inference_session_export_roundtrip(rng, tmp_path):
+    """jax.export deployment artifact: serialized StableHLO + weights
+    restore to the identical servable without model-code retracing —
+    incl. the int8-PTQ config."""
+    for quantize in (False, True):
+        sess = InferenceSession.create(batch=1, clip_len=2, height=32,
+                                       width=56, quantize=quantize)
+        clips = rng.integers(0, 256, (1, 2, 32, 56, 3)).astype(np.uint8)
+        want = sess.predict(clips.copy())
+        path = str(tmp_path / f"exp{int(quantize)}")
+        sess.export(path)
+        restored = InferenceSession.load_exported(path)
+        got = restored.predict(clips)
+        for k in want:
+            np.testing.assert_allclose(got[k], want[k], atol=1e-6)
+        with pytest.raises(ValueError):
+            restored.export(path)  # restored sessions are not re-exportable
