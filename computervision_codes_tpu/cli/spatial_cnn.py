@@ -44,6 +44,11 @@ def parse_flags(argv: Optional[Sequence[str]] = None):
     p.add_argument("--rates", type=float, nargs="+", default=[1, 0, 0.1])
     p.add_argument("--teacher_feat_version", type=str, default="Q2L")
     p.add_argument("--teacher_pred_version", type=str, default="Q2LMSTCT")
+    p.add_argument("--qat", action="store_true",
+                   help="quantization-aware fine-tune: train through the "
+                        "int8 weight fake-quant the serving path applies "
+                        "(models/qat.py); eval/dump run the fake-quant "
+                        "weights")
     p.add_argument("--dp_devices", type=int, default=0,
                    help="data-parallel training over this many devices "
                         "(0 = single device; gradients all-reduce over the "
@@ -97,8 +102,9 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
                    "t": TARGET_POS_WEIGHT}
     train_step = make_spatial_train_step(
         model, flags.loss_type, flags.rates, flags.temp, pos_weights,
-        sam_rho=flags.sam_rho if flags.optimizer == "sam" else 0.0)
-    eval_step = make_spatial_eval_step(model)
+        sam_rho=flags.sam_rho if flags.optimizer == "sam" else 0.0,
+        qat=flags.qat)
+    eval_step = make_spatial_eval_step(model, qat=flags.qat)
 
     def run_batch(images):
         probs, feats = eval_step(state, jnp.asarray(images))

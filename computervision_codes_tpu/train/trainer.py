@@ -58,12 +58,18 @@ def make_spatial_train_step(model, loss_type: str = "all",
                             rates: Sequence[float] = (1.0, 0.0, 0.1),
                             temperature: float = 4.0,
                             pos_weights: Optional[Dict[str, Any]] = None,
-                            sam_rho: float = 0.0):
+                            sam_rho: float = 0.0, qat: bool = False):
     """``sam_rho`` > 0 computes the gradient with two-step SAM
     (train/optim.py:sam_gradients) instead of plain backprop — the
     ascent-perturbed second pass re-runs the same loss_fn, so BN moments
     come from the perturbed evaluation (the reference's SAM wrapper,
-    imbsam.py:5-41, behaves the same: the second backward recomputes BN)."""
+    imbsam.py:5-41, behaves the same: the second backward recomputes BN).
+
+    ``qat`` trains through weight fake-quant (models/qat.py): the forward
+    sees the int8 quantize->dequantize image of every backbone conv
+    kernel (the exact serving-PTQ policy) with straight-through
+    gradients — after training, int8 serving reproduces the train-time
+    forward's weights exactly."""
     from .optim import sam_gradients
 
     pos_weights = pos_weights or {}
@@ -73,6 +79,10 @@ def make_spatial_train_step(model, loss_type: str = "all",
         state, rng = state.next_rng()
 
         def loss_fn(params):
+            if qat:
+                from ..models.qat import qat_params
+
+                params = qat_params(params)
             variables = {"params": params}
             if state.batch_stats is not None:
                 variables["batch_stats"] = state.batch_stats
@@ -139,14 +149,21 @@ def make_spatial_train_step(model, loss_type: str = "all",
     return step
 
 
-def make_spatial_eval_step(model):
+def make_spatial_eval_step(model, qat: bool = False):
     # apply through the MODEL ARGUMENT, not state.apply_fn — the state
     # binds the TRAIN model's apply, and eval may use a differently
     # configured twin of the same param tree (e.g. Q2L(quant_eval=True)
-    # behind the driver's --quant_eval)
+    # behind the driver's --quant_eval). ``qat`` evaluates the fake-quant
+    # weights — the model that will actually be served.
     @jax.jit
     def step(state: TrainState, images: jnp.ndarray):
-        out = model.apply(state.variables(), images, train=False)
+        variables = state.variables()
+        if qat:
+            from ..models.qat import qat_params
+
+            variables = dict(variables, params=qat_params(
+                variables["params"]))
+        out = model.apply(variables, images, train=False)
         probs = {k: jax.nn.sigmoid(v) for k, v in out["logits"].items()}
         return probs, out["feature"]
 
