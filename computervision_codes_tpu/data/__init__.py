@@ -2,6 +2,7 @@ from . import bank
 from .feature_store import FeatureStore, artifact_name, video_key
 from .labels import VideoLabels, load_video_labels
 from .splits import Split, crossval_folds, resolve_split, video_name
+from .native import VideoReader, video_supported
 
 __all__ = [
     "bank",
@@ -14,4 +15,6 @@ __all__ = [
     "crossval_folds",
     "resolve_split",
     "video_name",
+    "VideoReader",
+    "video_supported",
 ]

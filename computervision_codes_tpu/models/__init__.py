@@ -3,6 +3,8 @@ from .cvt import CvT, build_cvt
 from .mstct import MSTCT
 from .moco import MoCoEncoder, MoCoQueue, TERLModel
 from .pipeline import EndToEndRecognizer
+from .pretrained import load_backbone_variables, warm_start_backbone
+from .qat import fake_quant_convs, fake_quant_kernel, qat_params
 from .q2l import Q2L, Q2LTransformer
 from .quant_dense import (collect_dense_scales, int8_apply,
                           quantize_dense_params)
@@ -19,6 +21,8 @@ __all__ = [
     "MSTCT",
     "MoCoEncoder", "MoCoQueue", "TERLModel",
     "EndToEndRecognizer",
+    "load_backbone_variables", "warm_start_backbone",
+    "fake_quant_convs", "fake_quant_kernel", "qat_params",
     "Q2L", "Q2LTransformer",
     "collect_dense_scales", "int8_apply", "quantize_dense_params",
     "make_int8_e2e", "quantize_resnet", "quantized_resnet_apply",
