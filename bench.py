@@ -49,6 +49,24 @@ def _supervise(attempts: int = 3, child_timeout: int = 900) -> int:
     env = dict(os.environ, GRAFT_BENCH_CHILD="1")
     last_tail, backoff = "", 30
     for attempt in range(attempts):
+        # cheap device probe first: a dead tunnel HANGS at backend init
+        # (never errors), so burning child_timeout per attempt on the full
+        # bench would take ~45 min to report — the probe bounds that to
+        # ~2 min per attempt
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                env=os.environ, capture_output=True, text=True, timeout=150)
+            probe_ok = probe.returncode == 0
+            probe_tail = (probe.stderr or "")[-1500:]
+        except subprocess.TimeoutExpired:
+            probe_ok = False
+            probe_tail = "device probe hung > 150s (tunnel down)"
+        if not probe_ok:
+            last_tail = f"attempt {attempt + 1}: {probe_tail}"
+            time.sleep(backoff)
+            backoff *= 2
+            continue
         try:
             proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
                                   env=env, capture_output=True, text=True,

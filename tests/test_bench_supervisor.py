@@ -18,16 +18,22 @@ def _proc(rc, out="", err=""):
     return types.SimpleNamespace(returncode=rc, stdout=out, stderr=err)
 
 
+def _is_probe(a):
+    return "-c" in a[0]
+
+
 def test_success_relays_child_json(monkeypatch, capsys):
     calls = []
 
     def fake_run(*a, **k):
         calls.append(a)
+        if _is_probe(a):
+            return _proc(0)
         return _proc(0, 'warning noise\n{"metric": "m", "value": 1.0}\n')
 
     monkeypatch.setattr(subprocess, "run", fake_run)
     assert bench._supervise() == 0
-    assert len(calls) == 1
+    assert len([a for a in calls if not _is_probe(a)]) == 1
     line = capsys.readouterr().out.strip()
     assert json.loads(line)["value"] == 1.0
 
@@ -43,7 +49,8 @@ def test_retryable_failure_retries_then_reports(monkeypatch, capsys):
 
     monkeypatch.setattr(subprocess, "run", fake_run)
     assert bench._supervise(attempts=3) == 1
-    assert len(calls) == 3  # all retries consumed
+    # the probe fails every attempt, so the full bench is never launched
+    assert len(calls) == 3 and all(_is_probe(a) for a in calls)
     line = capsys.readouterr().out.strip().splitlines()[-1]
     diag = json.loads(line)
     assert diag["value"] == 0.0
@@ -56,11 +63,14 @@ def test_deterministic_failure_does_not_retry(monkeypatch, capsys):
 
     def fake_run(*a, **k):
         calls.append(a)
+        if _is_probe(a):
+            return _proc(0)  # device fine — the bug is in the bench body
         return _proc(1, "", "TypeError: bad code, not infra")
 
     monkeypatch.setattr(subprocess, "run", fake_run)
     assert bench._supervise(attempts=3) == 1
-    assert len(calls) == 1  # no budget burned on a code bug
+    # no budget burned on a code bug: one probe + one bench
+    assert len([a for a in calls if not _is_probe(a)]) == 1
     diag = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "error" in diag
 
@@ -71,11 +81,13 @@ def test_hang_is_killed_and_retried(monkeypatch, capsys):
 
     def fake_run(*a, **k):
         calls.append(a)
-        if len(calls) == 1:
-            raise subprocess.TimeoutExpired(cmd="bench", timeout=1)
+        if _is_probe(a):
+            if len(calls) == 1:
+                raise subprocess.TimeoutExpired(cmd="probe", timeout=1)
+            return _proc(0)
         return _proc(0, '{"metric": "m", "value": 2.0}\n')
 
     monkeypatch.setattr(subprocess, "run", fake_run)
     assert bench._supervise() == 0
-    assert len(calls) == 2
+    assert len([a for a in calls if not _is_probe(a)]) == 1
     assert json.loads(capsys.readouterr().out.strip())["value"] == 2.0
