@@ -277,6 +277,9 @@ class StreamingSession:
     # per-stream push counts (np int array, shape (streams,)) — judged
     # against receptive_field to know when a stream's output is exact
     frames_seen_per_stream: Optional[np.ndarray] = None
+    # (jitted step, var ShapeDtypeStructs, buffer ShapeDtypeStruct) kept
+    # for export(); None when restored via load_exported
+    exportable: Optional[tuple] = None
 
     def __post_init__(self):
         if self.frames_seen_per_stream is None:
@@ -386,7 +389,8 @@ class StreamingSession:
         return cls(compiled=compiled, variables=variables, buffer=buffer,
                    context=context, height=height, width=width,
                    streams=streams, receptive_field=rf,
-                   frames_seen_per_stream=np.zeros(streams, np.int64))
+                   frames_seen_per_stream=np.zeros(streams, np.int64),
+                   exportable=(jitted, var_shapes, buf_shape))
 
     def push(self, frame) -> Dict[str, np.ndarray]:
         """One frame per stream — (H, W, 3) for a single-stream session or
@@ -408,6 +412,69 @@ class StreamingSession:
         squeeze = self.streams == 1
         return {k: np.asarray(v)[0] if squeeze else np.asarray(v)
                 for k, v in probs.items()}
+
+    def export(self, path: str) -> str:
+        """Serialize the streaming step + weights as a deployment artifact
+        (companion to InferenceSession.export — same layout plus the ring
+        geometry in meta.json). Restore with
+        ``StreamingSession.load_exported(path)``; the restored session
+        starts with a fresh zero buffer."""
+        import json
+        import os
+
+        from flax import serialization
+        from jax import export as jexport
+
+        if self.exportable is None:
+            raise ValueError("session restored from an export is not "
+                             "re-exportable")
+        jitted, var_shapes, buf_shape = self.exportable
+        os.makedirs(path, exist_ok=True)
+        for normalize in (True, False):
+            in_dtype = jnp.uint8 if normalize else self.buffer.dtype
+            fshape = jax.ShapeDtypeStruct(
+                (self.streams, self.height, self.width, 3), in_dtype)
+            exp = jexport.export(jitted)(var_shapes, buf_shape, fshape,
+                                         normalize)
+            with open(os.path.join(path,
+                                   f"step_norm{int(normalize)}.jaxexport"),
+                      "wb") as fh:
+                fh.write(exp.serialize())
+        with open(os.path.join(path, "variables.msgpack"), "wb") as fh:
+            fh.write(serialization.to_bytes(self.variables))
+        with open(os.path.join(path, "meta.json"), "w") as fh:
+            json.dump({"context": self.context, "height": self.height,
+                       "width": self.width, "streams": self.streams,
+                       "receptive_field": self.receptive_field,
+                       "feature_dim": int(self.buffer.shape[-1]),
+                       "dtype": str(self.buffer.dtype)}, fh)
+        return path
+
+    @classmethod
+    def load_exported(cls, path: str) -> "StreamingSession":
+        """Restore an exported streaming servable (fresh zero buffer)."""
+        import json
+        import os
+
+        from flax import serialization
+        from jax import export as jexport
+
+        meta = json.load(open(os.path.join(path, "meta.json")))
+        blob = open(os.path.join(path, "variables.msgpack"), "rb").read()
+        variables = serialization.msgpack_restore(bytearray(blob))
+        compiled = {}
+        for normalize in (True, False):
+            with open(os.path.join(path,
+                                   f"step_norm{int(normalize)}.jaxexport"),
+                      "rb") as fh:
+                exp = jexport.deserialize(bytearray(fh.read()))
+            compiled[normalize] = (
+                lambda e: lambda v, b, f: e.call(v, b, f))(exp)
+        dtype = jnp.dtype(meta.pop("dtype"))
+        dim = meta.pop("feature_dim")
+        buffer = jnp.zeros((meta["streams"], meta["context"], dim), dtype)
+        return cls(compiled=compiled, variables=variables, buffer=buffer,
+                   **meta)
 
     def reset(self, stream: Optional[int] = None) -> None:
         """Start a new video: zero the feature ring buffer and the frame

@@ -252,3 +252,30 @@ def test_inference_session_export_roundtrip(rng, tmp_path):
             np.testing.assert_allclose(got[k], want[k], atol=1e-6)
         with pytest.raises(ValueError):
             restored.export(path)  # restored sessions are not re-exportable
+
+
+@pytest.mark.slow
+def test_streaming_export_roundtrip(rng):
+    """StreamingSession export: the restored servable reproduces the
+    original's push trajectory from a fresh buffer."""
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from computervision_codes_tpu.serving import StreamingSession
+
+    kw = dict(context=16, height=32, width=56, num_layers_pg=2,
+              num_layers_r=2, num_refinements=1, num_f_maps=8,
+              dtype=jnp.float32)
+    sess = StreamingSession.create(**kw)
+    frames = (rng.random((4, 32, 56, 3)) * 255).astype(np.uint8)
+    want = [sess.push(f)["ivt"] for f in frames]
+    path = tempfile.mkdtemp(prefix="stream_exp_")
+    sess.export(path)
+    restored = StreamingSession.load_exported(path)
+    assert restored.receptive_field == sess.receptive_field
+    got = [restored.push(f)["ivt"] for f in frames]
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(g, w, atol=1e-6)
+    with pytest.raises(ValueError):
+        restored.export(path)
