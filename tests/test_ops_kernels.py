@@ -578,3 +578,27 @@ def test_swin_224_fused_eval_matches_xla(rng):
     fused = SwinTransformer(fused_eval=True, **kw)
     got = fused.apply(v, img)["pooled"]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+
+def test_window_mhsa_fused_quant_odd_window(rng):
+    """quant=True at window 7 (the swin_L_224 stage-3 --quant_eval
+    configuration): the padded geometry and the int8 projections compose —
+    PTQ-noise drift only."""
+    import jax.numpy as jnp
+
+    from computervision_codes_tpu.ops.window_mhsa import (
+        window_mhsa_fused,
+        window_mhsa_reference,
+    )
+
+    b, hw, c, heads, w = 1, 14, 32, 4, 7
+    n = w * w
+    f = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.1, jnp.float32)
+    x = f(b, hw, hw, c)
+    args = (f(c) + 1, f(c), f(c, 3 * c), f(3 * c), f(c, c), f(c),
+            f(heads, n, n))
+    want = window_mhsa_reference(x, *args, None, window=w, num_heads=heads)
+    got = window_mhsa_fused(x, *args, None, window=w, num_heads=heads,
+                            quant=True)
+    drift = np.max(np.abs(np.asarray(got) - np.asarray(want)))
+    assert drift < 0.05, drift
