@@ -258,22 +258,17 @@ def terl(batch=16, iters=6):
            f"queue 16384)", dt, batch)
 
 
-ROWS = {"kd": main, "q2l": q2l_teacher, "mstct": mstct, "tcn": tcn,
-        "terl": terl}
+import functools as _ft
+
+ROWS = {"kd": main, "q2l": q2l_teacher, "q2l_teacher": q2l_teacher,
+        "q2l_fused": _ft.partial(q2l_teacher, fused_train=True),
+        # GEMM-saveable remat: backward replays only the elementwise chain
+        "q2l_dots": _ft.partial(q2l_teacher, remat_policy="dots"),
+        "q2l_dots_fused": _ft.partial(q2l_teacher, remat_policy="dots",
+                                      fused_train=True),
+        "mstct": mstct, "tcn": tcn, "terl": terl}
+DEFAULT_ROWS = ("kd", "q2l", "mstct", "tcn", "terl")
 
 if __name__ == "__main__":
-    if "q2l_fused" in sys.argv[1:]:
-        q2l_teacher(fused_train=True)
-        sys.argv.remove("q2l_fused")
-    if "q2l_dots" in sys.argv[1:]:
-        # GEMM-saveable remat: backward replays only the elementwise chain
-        q2l_teacher(remat_policy="dots")
-        sys.argv.remove("q2l_dots")
-    if "q2l_dots_fused" in sys.argv[1:]:
-        q2l_teacher(remat_policy="dots", fused_train=True)
-        sys.argv.remove("q2l_dots_fused")
-        if len(sys.argv) == 1:
-            sys.exit(0)
-    rows = sys.argv[1:] or list(ROWS)
-    for r in rows:
+    for r in sys.argv[1:] or DEFAULT_ROWS:
         ROWS[r]()
