@@ -21,16 +21,18 @@ import jax.numpy as jnp
 from scripts.swin_roofline import timed_scan
 
 
-def bench_variant(name: str, batch: int):
+def bench_variant(name: str, batch: int, res: int = 224):
     from computervision_codes_tpu.models.swin import (SwinTransformer,
                                                       VARIANTS)
 
-    img = jax.random.normal(jax.random.PRNGKey(1), (batch, 224, 224, 3),
+    cfg = dict(VARIANTS[name]) if name in VARIANTS else dict(
+        embed_dim=32, depths=(2, 2), num_heads=(2, 4), window_size=7)
+    img = jax.random.normal(jax.random.PRNGKey(1), (batch, res, res, 3),
                             jnp.bfloat16)
     rows = {}
     for fused in (False, True):
         model = SwinTransformer(num_classes=0, fused_eval=fused,
-                                dtype=jnp.bfloat16, **VARIANTS[name])
+                                dtype=jnp.bfloat16, **cfg)
         v = model.init(jax.random.PRNGKey(0), img[:1])
         s = timed_scan(
             lambda vv, x: model.apply(vv, x)["pooled"].astype(
@@ -48,6 +50,10 @@ def main():
     batch = 32
     if "--batch" in sys.argv:
         batch = int(sys.argv[sys.argv.index("--batch") + 1])
+    if "--nano" in sys.argv:
+        # CPU plumbing check (window-7 nano at 56px, interpret kernels)
+        bench_variant("nano_w7", 1, res=56)
+        return
     bench_variant("swin_T_224_1k", batch)
     bench_variant("swin_L_224_22k", batch)
 

@@ -158,6 +158,14 @@ def run_block(name, b, hw, c, heads, w=12, shifted=False):
 
 def main():
     b = 16
+    if "--nano" in sys.argv:
+        # CPU-interpret plumbing check of the on-chip rows (tiny shapes);
+        # validates code paths so the real run doesn't burn tunnel time
+        # on a python error
+        run_stage("nano w7 (14^2, c=32, h=2)", 1, 14, 32, 2, w=7)
+        run_stage("nano w7 shifted", 1, 14, 32, 2, w=7, shifted=True)
+        run_stage("nano w4 (8^2, c=32, h=2)", 1, 8, 32, 2, w=4)
+        return
     if "--odd_window" in sys.argv:
         # window-7 (224-class models: the reference TERL default,
         # TERL/6_baseline_learnT/runT.sh swin_T_224) at the padded
