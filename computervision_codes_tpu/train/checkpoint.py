@@ -61,8 +61,12 @@ class CheckpointManager:
                 ckptr.save(os.path.abspath(path), self._payload(state),
                            force=True)
             return path
-        with open(path, "wb") as f:
+        # atomic write: a crash mid-save must not corrupt the previous
+        # checkpoint (the resume path trusts _latest unconditionally)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
             f.write(serialization.to_bytes(self._payload(state)))
+        os.replace(tmp, path)
         return path
 
     def update(self, state, score: float, epoch: int,
