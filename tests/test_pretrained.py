@@ -91,3 +91,33 @@ def test_merge_skips_unknown_keys():
                                            "head": {"k": np.ones(1)}})
     assert loaded == ["/a/w"] and skipped == ["/head"]
     np.testing.assert_array_equal(merged["a"]["w"], 1.0)
+
+
+def test_warm_start_frozen_bn_q2l(resnet18_pth):
+    """The Q2L teacher's ResNet backbone uses FrozenBatchNorm (a 'frozen'
+    collection): warm start must auto-detect it and land BN affine+stats
+    there instead of batch_stats."""
+    from computervision_codes_tpu.models.q2l import Q2L
+
+    _, path = resnet18_pth
+    model = Q2L(backbone="resnet18", loss_type="i", teacher_dim=24)
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    state = create_train_state(model, build_sgd(1e-2),
+                               jax.random.PRNGKey(0), (img,))
+    assert state.frozen and "backbone" in state.frozen
+    new = warm_start_backbone(state, "resnet18", path, log=lambda m: None)
+
+    from computervision_codes_tpu.models.pretrained import (
+        load_backbone_variables)
+
+    want = load_backbone_variables("resnet18", path, frozen_bn=True)
+    np.testing.assert_array_equal(
+        np.asarray(new.frozen["backbone"]["bn1"]["mean"]),
+        want["frozen"]["bn1"]["mean"])
+    np.testing.assert_array_equal(
+        np.asarray(new.params["backbone"]["conv1"]["kernel"]),
+        want["params"]["conv1"]["kernel"])
+    # transformer params untouched
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(new.params["transformer"])[0]),
+        np.asarray(jax.tree.leaves(state.params["transformer"])[0]))
