@@ -115,7 +115,8 @@ class InferenceSession:
     def create(cls, batch: int = 4, clip_len: int = 256, height: int = 256,
                width: int = 448, network: str = "resnet18",
                variables: Optional[dict] = None, quantize: bool = False,
-               calibrate_clips=None, mesh=None) -> "InferenceSession":
+               calibrate_clips=None, mesh=None,
+               s2d_stem: bool = False) -> "InferenceSession":
         """``quantize=True`` serves the int8-PTQ backbone (models/quantized:
         +25% throughput on-chip with calibrated static scales). Pass
         ``calibrate_clips`` — NORMALIZED representative frames (B,T,H,W,3)
@@ -123,7 +124,8 @@ class InferenceSession:
         passed through the ImageNet normalization stands in (matches the
         input range; real frames are strictly better, and the mAP-drift
         <= 0.008 guarantee was measured with representative data)."""
-        model = EndToEndRecognizer(network=network, dtype=jnp.bfloat16)
+        model = EndToEndRecognizer(network=network, dtype=jnp.bfloat16,
+                                   s2d_stem=s2d_stem)
         if variables is None:
             variables = model.init(
                 jax.random.PRNGKey(0),
@@ -137,7 +139,8 @@ class InferenceSession:
                     jax.random.PRNGKey(7), (1, 8, height, width, 3),
                     jnp.bfloat16)
             fn, qvars = make_int8_e2e(model, variables,
-                                      calibrate_clips=calibrate_clips)
+                                      calibrate_clips=calibrate_clips,
+                                      s2d_stem=s2d_stem)
             variables, apply_fn = qvars, fn
         compiled, exportable = cls._build(model, variables, batch, clip_len,
                                           height, width, apply_fn=apply_fn,
