@@ -110,25 +110,37 @@ def quantized_resnet_apply(qp: Dict, x: jnp.ndarray,
                            stage_sizes: Sequence[int],
                            block: str = "basic",
                            dtype=jnp.bfloat16, record=None,
-                           s2d_stem: bool = False) -> Dict:
+                           s2d_stem: bool = False,
+                           fused_stem: bool = False) -> Dict:
     """Mirror of ResNet.__call__ (models/resnet.py:128-148), int8 convs.
 
-    ``s2d_stem`` runs the (float, BN-folded) stem via the space-to-depth
-    execution plan (models/resnet._s2d_conv1) — same math, denser MXU
-    geometry; applies only to the float-stem config on even spatial dims.
+    Stem execution plans (both float-stem-config only, exact math):
+    ``s2d_stem`` re-expresses conv1 via space-to-depth
+    (models/resnet._s2d_conv1 — denser MXU geometry, XLA conv);
+    ``fused_stem`` runs conv1 + bias + relu + maxpool as ONE Pallas
+    kernel (ops/stem_pool — in-VMEM im2col, the conv output never
+    touches HBM; needs H, W divisible by 4). ``fused_stem`` wins the
+    precedence when both are set.
     """
     blk = _basic_block if block == "basic" else _bottleneck_block
-    if (s2d_stem and "w" in qp["conv1"]
-            and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
-        from .resnet import _s2d_conv1
+    if (fused_stem and "w" in qp["conv1"]
+            and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0):
+        from ..ops.stem_pool import stem_pool_fused
 
-        x = _s2d_conv1(x.astype(dtype), qp["conv1"]["w"].astype(dtype))
-        x = jax.nn.relu(x + qp["conv1"]["bias"].astype(dtype))
+        x = stem_pool_fused(x.astype(dtype), qp["conv1"]["w"].astype(dtype),
+                            qp["conv1"]["bias"])
     else:
-        x = quantized_conv_bn(x.astype(dtype), qp["conv1"], stride=2,
-                              padding=((3, 3), (3, 3)), relu=True,
-                              dtype=dtype, record=record)
-    x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        if (s2d_stem and "w" in qp["conv1"]
+                and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+            from .resnet import _s2d_conv1
+
+            x = _s2d_conv1(x.astype(dtype), qp["conv1"]["w"].astype(dtype))
+            x = jax.nn.relu(x + qp["conv1"]["bias"].astype(dtype))
+        else:
+            x = quantized_conv_bn(x.astype(dtype), qp["conv1"], stride=2,
+                                  padding=((3, 3), (3, 3)), relu=True,
+                                  dtype=dtype, record=record)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
     stages = []
     for si, num_blocks in enumerate(stage_sizes):
         for bi in range(num_blocks):
@@ -179,7 +191,7 @@ def calibrate_resnet(qp: Dict, x: jnp.ndarray, stage_sizes: Sequence[int],
 
 
 def make_int8_e2e(model, variables, calibrate_clips=None,
-                  s2d_stem: bool = False):
+                  s2d_stem: bool = False, fused_stem: bool = False):
     """Int8 variant of EndToEndRecognizer: int8 backbone + bf16 TCN.
 
     ``model`` is the float EndToEndRecognizer, ``variables`` its trained
@@ -212,7 +224,8 @@ def make_int8_e2e(model, variables, calibrate_clips=None,
         frames = clips.reshape(b * t, h, w, c)
         feats = quantized_resnet_apply(qvars["q_backbone"], frames, sizes,
                                        block=block, dtype=model.dtype,
-                                       s2d_stem=s2d_stem)
+                                       s2d_stem=s2d_stem,
+                                       fused_stem=fused_stem)
         seq = feats["pooled"].reshape(b, t, -1)
         out = tcn.apply({"params": qvars["tcn"]}, seq, train=False)
         return {"ivt": out["ivt"][0], "i": out["i"][0], "v": out["v"][0],

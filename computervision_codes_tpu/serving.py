@@ -116,7 +116,8 @@ class InferenceSession:
                width: int = 448, network: str = "resnet18",
                variables: Optional[dict] = None, quantize: bool = False,
                calibrate_clips=None, mesh=None,
-               s2d_stem: bool = False) -> "InferenceSession":
+               s2d_stem: bool = False,
+               fused_stem: bool = False) -> "InferenceSession":
         """``quantize=True`` serves the int8-PTQ backbone (models/quantized:
         +25% throughput on-chip with calibrated static scales). Pass
         ``calibrate_clips`` — NORMALIZED representative frames (B,T,H,W,3)
@@ -140,7 +141,8 @@ class InferenceSession:
                     jnp.bfloat16)
             fn, qvars = make_int8_e2e(model, variables,
                                       calibrate_clips=calibrate_clips,
-                                      s2d_stem=s2d_stem)
+                                      s2d_stem=s2d_stem,
+                                      fused_stem=fused_stem)
             variables, apply_fn = qvars, fn
         compiled, exportable = cls._build(model, variables, batch, clip_len,
                                           height, width, apply_fn=apply_fn,

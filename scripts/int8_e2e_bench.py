@@ -80,6 +80,16 @@ def main():
                       "fps": round(fps_sd, 1), "checksum": round(chk_sd, 4),
                       "speedup_vs_static": round(fps_sd / fps_s, 3)}))
 
+    # round 4: fused Pallas stem+maxpool (ops/stem_pool)
+    fn_fs, qvars_fs = make_int8_e2e(model, variables,
+                                    calibrate_clips=stacked[0, :1, :32],
+                                    fused_stem=True)
+    fps_fs, chk_fs = chained(fn_fs, (qvars_fs, stacked), n_bufs, iters,
+                             batch * clip_len)
+    print(json.dumps({"path": "int8 static + FUSED stem+pool kernel",
+                      "fps": round(fps_fs, 1), "checksum": round(chk_fs, 4),
+                      "speedup_vs_static": round(fps_fs / fps_s, 3)}))
+
 
 if __name__ == "__main__":
     main()

@@ -76,6 +76,15 @@ def main():
     report(f"stem conv as s2d 4x4/s1 12ch int8 (b={B})", s, flops,
            peak=394e12)
 
+    # round 4: the fused stem+pool Pallas kernel (in-VMEM im2col, pool
+    # fused — the conv output never touches HBM; ops/stem_pool)
+    from computervision_codes_tpu.ops.stem_pool import stem_pool_fused
+
+    bias = (jax.random.normal(rng, (64,)) * 0.1).astype(jnp.float32)
+    s = timed_scan(lambda x: stem_pool_fused(x, w, bias).astype(
+        jnp.float32).mean(), (x,))
+    report(f"FUSED stem conv+bias+relu+maxpool Pallas (b={B})", s, flops)
+
     # im2col via conv_general_dilated_patches + GEMM
     wm = w.reshape(-1, 64)
 

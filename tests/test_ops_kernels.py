@@ -602,3 +602,53 @@ def test_window_mhsa_fused_quant_odd_window(rng):
                             quant=True)
     drift = np.max(np.abs(np.asarray(got) - np.asarray(want)))
     assert drift < 0.05, drift
+
+
+def test_stem_pool_fused_matches_reference(rng):
+    """Fused stem conv+bias+relu+maxpool (ops/stem_pool) vs the chained
+    XLA reference, across sizes, chunk boundaries, and bf16."""
+    import jax.numpy as jnp
+
+    from computervision_codes_tpu.ops.stem_pool import (stem_pool_fused,
+                                                        stem_pool_reference)
+
+    w = jnp.asarray(rng.standard_normal((7, 7, 3, 64)) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(64) * 0.5, jnp.float32)
+    for (h, wd), chunk in (((32, 56), 8), ((32, 56), 3), ((16, 16), 32),
+                           ((24, 40), 2)):
+        x = jnp.asarray(rng.standard_normal((2, h, wd, 3)), jnp.float32)
+        want = stem_pool_reference(x, w, bias)
+        got = stem_pool_fused(x, w, bias, chunk=chunk)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, err_msg=f"{(h, wd, chunk)}")
+    # bf16 (the serving dtype)
+    xb = jnp.asarray(rng.standard_normal((1, 32, 56, 3)), jnp.bfloat16)
+    want = stem_pool_reference(xb, w.astype(jnp.bfloat16), bias)
+    got = stem_pool_fused(xb, w.astype(jnp.bfloat16), bias, chunk=4)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32), atol=0.05)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        stem_pool_fused(jnp.zeros((1, 30, 56, 3)), w, bias)
+
+
+def test_int8_e2e_fused_stem_tracks_float(rng):
+    """make_int8_e2e(fused_stem=True): the Pallas stem+pool kernel slots
+    into the serving path with float-model fidelity preserved."""
+    import jax
+    import jax.numpy as jnp
+
+    from computervision_codes_tpu.models.pipeline import EndToEndRecognizer
+    from computervision_codes_tpu.models.quantized import make_int8_e2e
+
+    model = EndToEndRecognizer(num_layers_pg=3, num_layers_r=2,
+                               num_refinements=1, num_f_maps=8,
+                               dtype=jnp.float32)
+    clips = jnp.asarray(rng.standard_normal((1, 4, 32, 56, 3)), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), clips)
+    want = np.asarray(model.apply(v, clips)["ivt"]).ravel()
+    fn, q = make_int8_e2e(model, v, calibrate_clips=clips, fused_stem=True)
+    got = np.asarray(fn(q, clips)["ivt"]).ravel()
+    assert np.corrcoef(got, want)[0, 1] > 0.995
