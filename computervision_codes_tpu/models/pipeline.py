@@ -37,6 +37,8 @@ class EndToEndRecognizer(nn.Module):
     causal: bool = False  # True = online-capable head (StreamingSession)
     s2d_stem: bool = False  # space-to-depth conv1 execution plan (same
     # params/math — models/resnet._s2d_conv1; serving-path A/B)
+    fused_stem: bool = False  # eval-only fused conv+BN+relu+maxpool
+    # Pallas stem (ops/stem_pool; BN folded at trace time)
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -45,6 +47,7 @@ class EndToEndRecognizer(nn.Module):
         sizes, block = RESNET_VARIANTS[self.network]
         backbone = ResNet(stage_sizes=sizes, block_cls=block,
                           s2d_stem=self.s2d_stem,
+                          fused_stem=self.fused_stem,
                           dtype=self.dtype, name="backbone")
         frames = clips.reshape(b * t, h, w, c)
         feats = backbone(frames, train=train)["pooled"]  # (B*T, D)

@@ -151,25 +151,47 @@ class ResNet(nn.Module):
     frozen_bn: bool = False
     s2d_stem: bool = False  # space-to-depth execution plan for conv1
     # (same params/math; serving-path A/B — see _s2d_conv1)
+    fused_stem: bool = False  # EVAL-only fused conv+BN+relu+maxpool Pallas
+    # kernel (ops/stem_pool) — BN folded at trace time from the running
+    # stats; training keeps the standard path (BN must update)
     dtype: jnp.dtype = jnp.float32
+
+    def _stem_bn_fold(self):
+        """(w', b') with the inference BN folded into the conv kernel."""
+        kernel = self.get_variable("params", "conv1")["kernel"]
+        if self.frozen_bn:
+            bn = dict(self.get_variable("frozen", "bn1"))
+        else:
+            bn = dict(self.get_variable("params", "bn1"))
+            bn.update(self.get_variable("batch_stats", "bn1"))
+        mult = bn["scale"] * jax.lax.rsqrt(bn["var"] + 1e-5)
+        return kernel * mult, bn["bias"] - bn["mean"] * mult
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> Dict[str, Any]:
         norm = _norm(self.frozen_bn, self.dtype)
         x = x.astype(self.dtype)
-        if (self.s2d_stem and not self.is_initializing()
-                and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
-            kernel = self.get_variable("params", "conv1")["kernel"]
-            x = _s2d_conv1(x, kernel.astype(self.dtype))
+        if (self.fused_stem and not train and not self.is_initializing()
+                and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0):
+            from ..ops.stem_pool import stem_pool_fused
+
+            wf, bf = self._stem_bn_fold()
+            x = stem_pool_fused(x, wf.astype(self.dtype), bf)
         else:
-            x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
-                        dtype=self.dtype, kernel_init=_conv_init,
-                        name="conv1")(x)
-        x = norm(name="bn1")(x, use_running_average=not train)
-        x = nn.relu(x)
-        # torch MaxPool2d(3, stride=2, padding=1); flax max_pool pads with
-        # -inf internally (verified bit-identical to explicit -inf padding)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+            if (self.s2d_stem and not self.is_initializing()
+                    and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+                kernel = self.get_variable("params", "conv1")["kernel"]
+                x = _s2d_conv1(x, kernel.astype(self.dtype))
+            else:
+                x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
+                            dtype=self.dtype, kernel_init=_conv_init,
+                            name="conv1")(x)
+            x = norm(name="bn1")(x, use_running_average=not train)
+            x = nn.relu(x)
+            # torch MaxPool2d(3, stride=2, padding=1); flax max_pool pads
+            # with -inf internally (bit-identical to explicit -inf padding)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                            padding=((1, 1), (1, 1)))
         stages = []
         for si, num_blocks in enumerate(self.stage_sizes):
             filters = 64 * (2 ** si)
@@ -198,12 +220,13 @@ VARIANTS: Dict[str, Tuple[Sequence[int], Any]] = {
 
 def build_resnet(name: str, frozen_bn: bool = False,
                  dtype: jnp.dtype = jnp.float32,
-                 s2d_stem: bool = False) -> ResNet:
+                 s2d_stem: bool = False,
+                 fused_stem: bool = False) -> ResNet:
     if name not in VARIANTS:
         raise ValueError(f"unknown resnet variant {name!r}; one of {list(VARIANTS)}")
     sizes, block = VARIANTS[name]
     return ResNet(stage_sizes=sizes, block_cls=block, frozen_bn=frozen_bn,
-                  s2d_stem=s2d_stem, dtype=dtype)
+                  s2d_stem=s2d_stem, fused_stem=fused_stem, dtype=dtype)
 
 
 def feature_dim(name: str) -> int:

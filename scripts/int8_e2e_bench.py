@@ -55,6 +55,16 @@ def main():
     print(json.dumps({"path": "bf16", "fps": round(fps_f, 1),
                       "checksum": round(chk_f, 4)}))
 
+    # round 4: bf16 arm with the fused Pallas stem (BN trace-folded)
+    model_fs = EndToEndRecognizer(dtype=jnp.bfloat16, fused_stem=True)
+    fps_ffs, chk_ffs = chained(lambda v, x: model_fs.apply(v, x),
+                               (variables, stacked), n_bufs, iters,
+                               batch * clip_len)
+    print(json.dumps({"path": "bf16 + FUSED stem+pool kernel",
+                      "fps": round(fps_ffs, 1),
+                      "checksum": round(chk_ffs, 4),
+                      "speedup_vs_bf16": round(fps_ffs / fps_f, 3)}))
+
     fn, qvars = make_int8_e2e(model, variables)
     fps_q, chk_q = chained(fn, (qvars, stacked), n_bufs, iters,
                            batch * clip_len)

@@ -152,3 +152,23 @@ def test_resnet_s2d_stem_equivalent(rng):
     got_o = s2d.apply(v, xo, mutable=False)["pooled"]  # fallback path
     np.testing.assert_allclose(np.asarray(got_o), np.asarray(want_o),
                                atol=2e-5)
+
+
+def test_resnet_fused_stem_eval_matches(rng):
+    """ResNet(fused_stem=True) eval == the standard stem (BN folded at
+    trace time into the ops/stem_pool kernel); train path unaffected."""
+    import jax
+
+    from computervision_codes_tpu.models.resnet import build_resnet
+
+    base = build_resnet("resnet18")
+    fused = build_resnet("resnet18", fused_stem=True)
+    x = jnp.asarray(rng.standard_normal((2, 32, 56, 3)), jnp.float32)
+    v = base.init(jax.random.PRNGKey(0), x)
+    # non-trivial BN stats
+    v = jax.tree_util.tree_map_with_path(
+        lambda p, a: a + 0.3 if any(getattr(k, "key", "") == "mean"
+                                    for k in p) else a, v)
+    want = base.apply(v, x, mutable=False)["pooled"]
+    got = fused.apply(v, x, mutable=False)["pooled"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
