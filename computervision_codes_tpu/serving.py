@@ -303,8 +303,8 @@ class StreamingSession:
                num_layers_pg: int = 11, num_layers_r: int = 10,
                num_refinements: int = 3, num_f_maps: int = 512,
                dtype=jnp.bfloat16, quantize: bool = False,
-               calibrate_frames=None, streams: int = 1
-               ) -> "StreamingSession":
+               calibrate_frames=None, streams: int = 1,
+               fused_stem: bool = False) -> "StreamingSession":
         """``quantize=True`` runs the backbone int8 per frame (calibrated
         static scales from ``calibrate_frames`` — NORMALIZED (N,H,W,3);
         a standard-normal batch stands in when absent). Accuracy-guarded
@@ -333,7 +333,8 @@ class StreamingSession:
                 jax.random.PRNGKey(0),
                 jnp.zeros((1, 4, height, width, 3), dtype))
         sizes, block = RESNET_VARIANTS[network]
-        backbone = ResNet(stage_sizes=sizes, block_cls=block, dtype=dtype)
+        backbone = ResNet(stage_sizes=sizes, block_cls=block, dtype=dtype,
+                          fused_stem=fused_stem)
         qp = None
         if quantize:
             if calibrate_frames is None:
@@ -366,7 +367,8 @@ class StreamingSession:
             if "q_backbone" in variables:  # static: dict structure
                 feat = quantized_resnet_apply(
                     variables["q_backbone"], x.astype(dtype), sizes,
-                    block=blk, dtype=dtype)["pooled"]
+                    block=blk, dtype=dtype,
+                    fused_stem=fused_stem)["pooled"]
             else:
                 bvars = {"params": variables["params"]["backbone"]}
                 if "batch_stats" in variables:
