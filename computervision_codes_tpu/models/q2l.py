@@ -193,6 +193,8 @@ class Q2L(nn.Module):
     # on TPU eval); True forces them (CPU interpret — parity tests)
     fused_train: bool = False  # Pallas-forward/reference-backward Swin
     # train path (ops/swin_train) — same gradients, faster step
+    s2d_embed: bool = False  # patch embed as a space-to-depth GEMM
+    # (exact; un-starves the MXU's C_in — models/swin.py)
     return_sim_mat: bool = False  # also return each task decoder's final
     # cross-attention map (B, K, HW) — the reference TERL transformer
     # variant's sim_mat_2 surface (TERL/6_baseline_learnT/models/moco.py:67-77,
@@ -219,6 +221,7 @@ class Q2L(nn.Module):
                                  drop_path_rate=self.drop_path_rate,
                                  remat=self.remat,
                                  remat_policy=self.remat_policy,
+                                 s2d_embed=self.s2d_embed,
                                  quant_eval=self.quant_eval,
                                  quant_min_dim=self.quant_min_dim,
                                  fused_eval=self.fused_eval,

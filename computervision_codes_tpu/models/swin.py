@@ -399,6 +399,8 @@ class SwinTransformer(nn.Module):
     fused_train: bool = False  # Pallas-forward/reference-backward train
     # path (ops/swin_train)
     num_classes: int = 0  # 0 = headless (Q2L strips the head)
+    s2d_embed: bool = False  # patch embed as a space-to-depth GEMM
+    # (stride == kernel makes it exact; C_in 3 -> 48 un-starves the MXU)
     remat: bool = False  # rematerialize blocks (jax.checkpoint) — trades
     # FLOPs for HBM so SwinL-384 trains on one chip at useful batch sizes
     remat_policy: str = ""  # "" = save-nothing (recompute everything in
@@ -412,8 +414,24 @@ class SwinTransformer(nn.Module):
     def __call__(self, images: jnp.ndarray, train: bool = False) -> Dict:
         det = not train
         x = images.astype(self.dtype)
-        x = nn.Conv(self.embed_dim, (4, 4), strides=4, dtype=self.dtype,
-                    name="patch_embed")(x)
+        if (self.s2d_embed and not self.is_initializing()
+                and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0):
+            # stride == kernel: the 4x4/s4 patch conv is EXACTLY a GEMM
+            # over the block-4 space-to-depth view — C_in 3 -> 48 so the
+            # MXU stops starving on the input channels (the C_in=3 conv
+            # runs ~40% peak, docs/BENCH.md stem roofline; same trick as
+            # the student stem). Same params, same math.
+            pe = self.get_variable("params", "patch_embed")
+            b_, h_, w_, c_ = x.shape
+            xs = x.reshape(b_, h_ // 4, 4, w_ // 4, 4, c_)
+            xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(
+                b_, h_ // 4, w_ // 4, 16 * c_)
+            k = pe["kernel"].astype(self.dtype).reshape(16 * c_,
+                                                        self.embed_dim)
+            x = xs @ k + pe["bias"].astype(self.dtype)
+        else:
+            x = nn.Conv(self.embed_dim, (4, 4), strides=4, dtype=self.dtype,
+                        name="patch_embed")(x)
         if self.patch_norm:
             x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_norm")(x)
         x = nn.Dropout(self.dropout)(x, deterministic=det)

@@ -80,6 +80,9 @@ def main(batch=16):
     # FFN-8192, stage-4 XLA attention, patch merges)
     qmodel = Q2L(backbone="swin_L_384_22k", loss_type="i",
                  dtype=jnp.bfloat16, quant_eval=True)
+    # round 4: + space-to-depth patch embed (exact GEMM reparam)
+    qmodel_s2d = Q2L(backbone="swin_L_384_22k", loss_type="i",
+                     dtype=jnp.bfloat16, quant_eval=True, s2d_embed=True)
     fps_s, ms_s = timed(
         lambda v, q, x, e: int8_apply(
             qmodel, v, q, scales, x + e, min_features=512
@@ -89,6 +92,16 @@ def main(batch=16):
                       "fps": round(fps_s, 1),
                       "per_step_ms": round(ms_s * 1e3, 2),
                       "speedup_vs_bf16": round(fps_s / fps_f, 3)}))
+
+    fps_sd, ms_sd = timed(
+        lambda v, q, x, e: int8_apply(
+            qmodel_s2d, v, q, scales, x + e, min_features=512
+        )["logits"]["i"].astype(jnp.float32).mean(),
+        (variables, qd, imgs, eps), frames=batch)
+    print(json.dumps({"path": "int8 stacked + s2d patch embed",
+                      "fps": round(fps_sd, 1),
+                      "per_step_ms": round(ms_sd * 1e3, 2),
+                      "speedup_vs_stacked": round(fps_sd / fps_s, 3)}))
 
 
 if __name__ == "__main__":

@@ -153,3 +153,16 @@ def test_q2l_sim_mat_surface(rng):
     assert (b, k) == (1, 6)
     np.testing.assert_allclose(np.asarray(out["sim_mat"]["i"].sum(-1)), 1.0,
                                atol=1e-5)
+
+
+def test_swin_s2d_embed_exact(rng):
+    """The patch embed's 4x4/s4 conv == a GEMM over the block-4
+    space-to-depth view (stride == kernel, same params): exact."""
+    kw = dict(embed_dim=32, depths=(2,), num_heads=(2,), window_size=4,
+              num_classes=0)
+    img = jnp.asarray(rng.standard_normal((1, 32, 32, 3)), jnp.float32)
+    base = SwinTransformer(**kw)
+    v = base.init(jax.random.PRNGKey(0), img)
+    want = base.apply(v, img)["pooled"]
+    got = SwinTransformer(s2d_embed=True, **kw).apply(v, img)["pooled"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
