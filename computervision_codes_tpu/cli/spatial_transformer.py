@@ -16,6 +16,7 @@ from __future__ import annotations
 import sys
 from typing import Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -52,6 +53,13 @@ def parse_flags(argv: Optional[Sequence[str]] = None):
                    help="train forward through the fused Pallas Swin "
                         "kernels (reference-autodiff backward — same "
                         "gradients, faster step; ops/swin_train)")
+    p.add_argument("--dp_devices", type=int, default=0,
+                   help="data-parallel devices (batch sharded over the "
+                        "mesh data axis; 0/1 = single device)")
+    p.add_argument("--tp_devices", type=int, default=0,
+                   help="tensor-parallel devices: Megatron-style GSPMD "
+                        "param placement over the mesh model axis "
+                        "(parallel/tp.py) — composes with --dp_devices")
     flags, _ = p.parse_known_args(argv)
     return flags
 
@@ -101,6 +109,21 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
     state = common.maybe_warm_start(flags, state, flags.backbone, logger)
     state = common.maybe_resume(flags, ckpt, state, logger)
 
+    batch_sh = None
+    if flags.dp_devices > 1 or flags.tp_devices > 1:
+        from ..parallel.mesh import batch_sharding, make_mesh
+        from ..parallel.tp import shard_state_tp
+
+        mesh = make_mesh(n_data=max(1, flags.dp_devices),
+                         n_model=max(1, flags.tp_devices))
+        # TP = pure GSPMD placement (params + optimizer trace split over
+        # the model axis, everything unmatched replicated); with
+        # tp_devices <= 1 this degrades to plain replication, i.e. DP.
+        state = shard_state_tp(state, mesh)
+        batch_sh = batch_sharding(mesh)
+        if flags.batch % max(1, flags.dp_devices):
+            raise ValueError("--batch must be divisible by --dp_devices")
+
     pos_weights = {"i": TOOL_POS_WEIGHT, "v": VERB_POS_WEIGHT,
                    "t": TARGET_POS_WEIGHT}
     train_step = make_spatial_train_step(model, flags.loss_type, flags.rates,
@@ -132,6 +155,9 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
                                         pad_last=True):
                 jb = {k: jnp.asarray(v) for k, v in batch.items()
                       if k != "valid"}
+                if batch_sh is not None:
+                    jb = {k: jax.device_put(v, batch_sh)
+                          for k, v in jb.items()}
                 state, m = train_step(state, jb)
             logger.scalars("train/loss",
                            {k: float(v) for k, v in m.items()}, epoch)

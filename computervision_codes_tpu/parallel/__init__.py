@@ -4,6 +4,12 @@ from .context import (
     sequence_parallel_attention,
     sequence_parallel_dilated_conv,
 )
+from .tp import (
+    shard_params_tp,
+    shard_state_tp,
+    sharded_leaf_count,
+    tp_shardings,
+)
 from .mesh import (
     DATA_AXIS,
     MODEL_AXIS,
@@ -22,4 +28,6 @@ __all__ = [
     "shard_batch", "replicate",
     "sequence_parallel_attention", "sequence_parallel_dilated_conv",
     "halo_exchange", "all_gather_keys",
+    "tp_shardings", "shard_params_tp", "shard_state_tp",
+    "sharded_leaf_count",
 ]

@@ -94,6 +94,26 @@ def test_terl_cam_dump_writes_overlays(tiny_root, tmp_path):
     assert any("_i" in n and "_ivt" not in n for n in names)
 
 
+@pytest.mark.slow
+def test_teacher_driver_tp_smoke(tiny_root, tmp_path):
+    """--tp_devices/--dp_devices on the teacher driver: one epoch + eval of
+    a nano Q2L under a 2 (data) x 4 (model) mesh on the 8 virtual devices.
+    TP semantics are covered by tests/test_tensor_parallel.py; this pins
+    the flag plumbing end-to-end through the real driver surface."""
+    from computervision_codes_tpu.cli import spatial_transformer
+
+    res = spatial_transformer.main([
+        "-t", "-e", "--data_dir", tiny_root, "-k", "1",
+        "--loss_type", "i", "--epochs", "1", "-b", "8",
+        "--backbone", "swin_nano_64",
+        "--image_height", "64", "--image_width", "64",
+        "--dp_devices", "2", "--tp_devices", "4",
+        "--version", "tpsmoke", "--ckpt_root", str(tmp_path / "ckpt"),
+        "--val_interval", "99",
+    ])
+    assert 0.0 <= res["test_mAP"]["i"] <= 1.0
+
+
 def test_prefetch_to_device(rng):
     from computervision_codes_tpu.data.prefetch import prefetch_to_device
 
