@@ -4,6 +4,10 @@ from .context import (
     sequence_parallel_attention,
     sequence_parallel_dilated_conv,
 )
+from .pipeline import (
+    pipeline_blocks,
+    stack_block_params,
+)
 from .tp import (
     shard_params_tp,
     shard_state_tp,
@@ -30,4 +34,5 @@ __all__ = [
     "halo_exchange", "all_gather_keys",
     "tp_shardings", "shard_params_tp", "shard_state_tp",
     "sharded_leaf_count",
+    "pipeline_blocks", "stack_block_params",
 ]

@@ -1,0 +1,81 @@
+"""Pipeline parallelism (parallel/pipeline.py): the GPipe schedule over the
+mesh model axis must reproduce the sequential layer loop exactly.
+Runs on the conftest 8-virtual-CPU-device mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from computervision_codes_tpu.parallel.mesh import make_mesh
+from computervision_codes_tpu.parallel.pipeline import (
+    pipeline_blocks,
+    stack_block_params,
+)
+
+
+def _mlp_block(p, x):
+    return x + jnp.tanh(x @ p["w"] + p["b"])
+
+
+def _mlp_stack(rng, n_layers, dim):
+    return [{"w": jnp.asarray(rng.standard_normal((dim, dim)) * 0.3,
+                              jnp.float32),
+             "b": jnp.asarray(rng.standard_normal(dim) * 0.1, jnp.float32)}
+            for _ in range(n_layers)]
+
+
+@pytest.mark.parametrize("d,n_micro", [(2, 4), (4, 2), (4, 8), (8, 4)])
+def test_pipeline_matches_sequential_mlp(rng, d, n_micro):
+    layers = _mlp_stack(rng, 8, 16)
+    x = jnp.asarray(rng.standard_normal((8, 5, 16)), jnp.float32)
+    want = x
+    for p in layers:
+        want = _mlp_block(p, want)
+    mesh = make_mesh(n_data=1, n_seq=1, n_model=d)
+    got = pipeline_blocks(_mlp_block, stack_block_params(layers), x,
+                          mesh, n_micro=n_micro)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_pipeline_swin_block_pairs(rng):
+    """Real SwinBlocks at block-PAIR granularity (shift 0 + shift w/2):
+    4 pairs = 8 blocks pipelined over 4 stages == the sequential stack."""
+    from computervision_codes_tpu.models.swin import SwinBlock
+
+    dim, heads, w = 32, 2, 4
+    b0 = SwinBlock(dim=dim, num_heads=heads, window=w, shift=0,
+                   fused_eval=False)
+    b1 = SwinBlock(dim=dim, num_heads=heads, window=w, shift=w // 2,
+                   fused_eval=False)
+    x = jnp.asarray(rng.standard_normal((4, 8, 8, dim)), jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(0), 8)
+    pairs = [{"a": b0.init(keys[2 * i], x)["params"],
+              "b": b1.init(keys[2 * i + 1], x)["params"]}
+             for i in range(4)]
+
+    def apply_pair(p, act):
+        act = b0.apply({"params": p["a"]}, act)
+        return b1.apply({"params": p["b"]}, act)
+
+    want = x
+    for p in pairs:
+        want = apply_pair(p, want)
+
+    mesh = make_mesh(n_data=1, n_seq=1, n_model=4)
+    got = pipeline_blocks(apply_pair, stack_block_params(pairs), x,
+                          mesh, n_micro=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_pipeline_validates_divisibility(rng):
+    layers = _mlp_stack(rng, 6, 8)
+    x = jnp.zeros((4, 8), jnp.float32)
+    mesh = make_mesh(n_data=1, n_seq=1, n_model=4)
+    with pytest.raises(ValueError, match="not divisible"):
+        pipeline_blocks(_mlp_block, stack_block_params(layers), x, mesh, 2)
+    layers = _mlp_stack(rng, 8, 8)
+    with pytest.raises(ValueError, match="not divisible"):
+        pipeline_blocks(_mlp_block, stack_block_params(layers), x, mesh, 3)
