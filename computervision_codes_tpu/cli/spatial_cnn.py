@@ -53,6 +53,11 @@ def parse_flags(argv: Optional[Sequence[str]] = None):
                    help="data-parallel training over this many devices "
                         "(0 = single device; gradients all-reduce over the "
                         "mesh, BN moments are cross-replica)")
+    p.add_argument("--device_augment", action="store_true",
+                   help="run train-time augmentation + normalization on "
+                        "device (data/device_augment.py): the host only "
+                        "decodes+resizes and ships uint8 (4x less "
+                        "host->device traffic, no PIL in the hot loop)")
     flags, _ = p.parse_known_args(argv)
     return flags
 
@@ -64,7 +69,8 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
 
     dataset = CholecDataset(flags.data_dir, flags.dataset_variant, flags.kfold,
                             augmentation_list=flags.augmentation_list,
-                            image_size=(flags.image_height, flags.image_width))
+                            image_size=(flags.image_height, flags.image_width),
+                            device_augment=flags.device_augment)
     split = dataset.split
     feats_root = flags.feats_dir or f"{flags.data_dir}/data_feats"
     if flags.loss_type == "all" and flags.train:
@@ -127,6 +133,13 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
         if flags.batch % flags.dp_devices:
             raise ValueError("--batch must be divisible by --dp_devices")
 
+    aug_fn = None
+    if flags.device_augment:
+        from ..data.device_augment import make_device_augment
+
+        aug_fn = make_device_augment(tuple(flags.augmentation_list))
+        aug_base = jax.random.PRNGKey(flags.seed ^ 0x5EED)
+
     if flags.train:
         from ..data.prefetch import prefetch_to_device
 
@@ -138,7 +151,15 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
                                     drop_last=False, pad_last=True)
             stream = ({k: v for k, v in b.items() if k != "valid"}
                       for b in stream)
+            step_no = 0
             for jb in prefetch_to_device(stream, sharding=batch_sh):
+                if aug_fn is not None:
+                    jb = dict(jb)
+                    jb["image"] = aug_fn(
+                        jax.random.fold_in(
+                            jax.random.fold_in(aug_base, epoch), step_no),
+                        jb["image"])
+                    step_no += 1
                 state, m = train_step(state, jb)
             logger.scalars("train/loss",
                            {k: float(v) for k, v in m.items()}, epoch)

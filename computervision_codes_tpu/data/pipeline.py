@@ -43,11 +43,17 @@ class CholecDataset:
     def __init__(self, dataset_dir: str, variant: str = "cholect45-crossval",
                  test_fold: int = 1,
                  augmentation_list: Sequence[str] = T.DEFAULT_AUGS,
-                 image_size: Tuple[int, int] = T.DEFAULT_SIZE):
+                 image_size: Tuple[int, int] = T.DEFAULT_SIZE,
+                 device_augment: bool = False):
         self.dataset_dir = dataset_dir
         self.split: Split = resolve_split(variant, test_fold)
         self.augmentation_list = tuple(augmentation_list)
         self.image_size = image_size
+        # device_augment: TRAIN frames leave the host as resized uint8;
+        # augmentation + normalization run on-chip inside the jitted step
+        # (data/device_augment.py) — the driver applies
+        # make_device_augment(...) to each batch's "image"
+        self.device_augment = device_augment
         self._videos: Dict[str, VideoData] = {}
 
     def video(self, name: str) -> VideoData:
@@ -118,8 +124,15 @@ class CholecDataset:
             else:
                 img = Image.open(lab.frame_path(self.dataset_dir, row))
             if rng is not None:
-                arr = T.train_transform(rng, img, self.image_size,
-                                        self.augmentation_list)
+                if self.device_augment:
+                    if two_views:
+                        raise NotImplementedError(
+                            "device_augment does not cover the TERL "
+                            "two-view protocol yet (host PIL path only)")
+                    arr = T.raw_resize_u8(img, self.image_size)
+                else:
+                    arr = T.train_transform(rng, img, self.image_size,
+                                            self.augmentation_list)
             else:
                 arr = T.eval_transform(img, self.image_size)
             item["image"] = arr

@@ -95,3 +95,11 @@ def train_transform(rng: np.random.Generator, img: Image.Image,
 def eval_transform(img: Image.Image,
                    size: Tuple[int, int] = DEFAULT_SIZE) -> np.ndarray:
     return to_normalized_array(_resize(img, size))
+
+
+def raw_resize_u8(img: Image.Image,
+                  size: Tuple[int, int] = DEFAULT_SIZE) -> np.ndarray:
+    """Resize only -> (H, W, 3) uint8: the host half of the device-side
+    augmentation split (data/device_augment.py) — augs + normalization
+    run on-chip, the host ships 4x less than f32."""
+    return np.asarray(_resize(img, size).convert("RGB"), dtype=np.uint8)

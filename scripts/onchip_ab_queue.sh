@@ -33,6 +33,9 @@ run python scripts/stem_probe.py
 # 4. student e2e incl. the s2d-stem arm
 run python scripts/int8_e2e_bench.py
 
+# 4b. device-side augmentation cost (--device_augment host-relief path)
+run python scripts/device_augment_bench.py
+
 # 5. teacher train-step A/Bs (fused_train / dots remat / both)
 run python scripts/train_bench.py q2l q2l_fused q2l_dots q2l_dots_fused
 

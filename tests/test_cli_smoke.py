@@ -95,6 +95,23 @@ def test_terl_cam_dump_writes_overlays(tiny_root, tmp_path):
 
 
 @pytest.mark.slow
+def test_student_driver_device_augment_smoke(tiny_root, tmp_path):
+    """--device_augment: the host ships resized uint8, augmentation +
+    normalization run inside the jitted step (data/device_augment.py)."""
+    from computervision_codes_tpu.cli import spatial_cnn
+
+    res = spatial_cnn.main([
+        "-t", "-e", "--data_dir", tiny_root, "-k", "1",
+        "--loss_type", "ivt", "--epochs", "1", "-b", "8",
+        "--image_height", "32", "--image_width", "56",
+        "--device_augment",
+        "--version", "devaug", "--ckpt_root", str(tmp_path / "ckpt"),
+        "--val_interval", "99",
+    ])
+    assert 0.0 <= res["test_mAP"]["ivt"] <= 1.0
+
+
+@pytest.mark.slow
 def test_teacher_driver_tp_smoke(tiny_root, tmp_path):
     """--tp_devices/--dp_devices on the teacher driver: one epoch + eval of
     a nano Q2L under a 2 (data) x 4 (model) mesh on the 8 virtual devices.
