@@ -90,6 +90,11 @@ def parse_flags(argv: Optional[Sequence[str]] = None):
                    help="directory: restore the checkpoint and write "
                         "per-task CAM overlay PNGs for test-split frames "
                         "(reference cam.py:200-278 checkpoint->overlay tool)")
+    p.add_argument("--device_augment", action="store_true",
+                   help="generate BOTH contrastive views on device from "
+                        "one uint8 upload (data/device_augment.py): the "
+                        "host only decodes+resizes — halves host-side "
+                        "augmentation work AND transfer vs two f32 views")
     p.add_argument("--cam_frames", type=int, default=8,
                    help="max frames to render with --cam_dump")
     flags, _ = p.parse_known_args(argv)
@@ -104,8 +109,18 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
 
     dataset = CholecDataset(flags.data_dir, flags.dataset_variant, flags.kfold,
                             augmentation_list=flags.augmentation_list,
-                            image_size=(flags.img_size, flags.img_size))
+                            image_size=(flags.img_size, flags.img_size),
+                            device_augment=flags.device_augment)
     split = dataset.split
+    aug2_fn = None
+    if flags.device_augment:
+        import jax as _jax
+
+        from ..data.device_augment import make_device_augment
+
+        aug2_fn = make_device_augment(tuple(flags.augmentation_list),
+                                      two_view=True)
+        aug_base = _jax.random.PRNGKey(flags.seed ^ 0x2C0F)
     feats_root = flags.feats_dir or f"{flags.data_dir}/data_feats"
 
     modelname = common.build_modelname(flags) + "_learnT"
@@ -205,9 +220,17 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
                 lab_ivt = batch["label_ivt"][:, class_map]  # remapped space
                 tail_labels = lab_ivt * tail_ivt_mask[None, :]
                 s, c, v = select_tail_anchors(tail_labels, max_anchors)
+                if aug2_fn is not None:
+                    img1, img2 = aug2_fn(
+                        _jax.random.fold_in(
+                            _jax.random.fold_in(aug_base, epoch), n_batches),
+                        jnp.asarray(batch["image"]))
+                else:
+                    img1 = jnp.asarray(batch["image"])
+                    img2 = jnp.asarray(batch["image2"])
                 jb = {
-                    "image1": jnp.asarray(batch["image"]),
-                    "image2": jnp.asarray(batch["image2"]),
+                    "image1": img1,
+                    "image2": img2,
                     "anchor_sample": jnp.asarray(s),
                     "anchor_class": jnp.asarray(c),
                     "anchor_valid": jnp.asarray(v),

@@ -135,10 +135,12 @@ def sharpness_u8(x: jnp.ndarray, factor: float = 1.6) -> jnp.ndarray:
 
 
 def make_device_augment(augmentation_list: Sequence[str] = DEFAULT_AUGS,
-                        dtype=jnp.float32):
+                        dtype=jnp.float32, two_view: bool = False):
     """Jittable ``(key, uint8 (B,H,W,3)) -> normalized (B,H,W,3) dtype``
     applying the reference's train augmentations in list order
-    (transforms.py:52-78 semantics; probabilities per sample)."""
+    (transforms.py:52-78 semantics; probabilities per sample).
+    ``two_view=True`` returns two independently-augmented views of the
+    same batch (the TERL two-crop protocol) from one uint8 upload."""
     augs = tuple(augmentation_list)
     known = {"original", "vflip", "hflip", "contrast", "rot90",
              "brightness"}
@@ -148,9 +150,7 @@ def make_device_augment(augmentation_list: Sequence[str] = DEFAULT_AUGS,
                 f"unknown/host-only augmentation for the device path: "
                 f"{aug!r} (supported: {sorted(known)})")
 
-    @partial(jax.jit, static_argnums=())
-    def augment(key: jax.Array, images: jnp.ndarray) -> jnp.ndarray:
-        x = images
+    def _core(key: jax.Array, x: jnp.ndarray) -> jnp.ndarray:
         b = x.shape[0]
         for aug in augs:
             if aug == "original":
@@ -173,5 +173,19 @@ def make_device_augment(augmentation_list: Sequence[str] = DEFAULT_AUGS,
                 m = jax.random.uniform(sub, (b, 1, 1, 1)) < 0.5
                 x = jnp.where(m, sharpness_u8(x), x)
         return normalize_u8(x, dtype)
+
+    if two_view:
+        # TERL two-crop protocol (TERL/6_baseline_learnT/dataloader.py:
+        # 101,233-266): two INDEPENDENT augmentations of the same frame
+        @partial(jax.jit, static_argnums=())
+        def augment2(key: jax.Array, images: jnp.ndarray):
+            k1, k2 = jax.random.split(key)
+            return _core(k1, images), _core(k2, images)
+
+        return augment2
+
+    @partial(jax.jit, static_argnums=())
+    def augment(key: jax.Array, images: jnp.ndarray) -> jnp.ndarray:
+        return _core(key, images)
 
     return augment

@@ -125,10 +125,8 @@ class CholecDataset:
                 img = Image.open(lab.frame_path(self.dataset_dir, row))
             if rng is not None:
                 if self.device_augment:
-                    if two_views:
-                        raise NotImplementedError(
-                            "device_augment does not cover the TERL "
-                            "two-view protocol yet (host PIL path only)")
+                    # both views derive on-device from ONE uint8 upload
+                    # (make_device_augment(two_view=True)) — no "image2"
                     arr = T.raw_resize_u8(img, self.image_size)
                 else:
                     arr = T.train_transform(rng, img, self.image_size,
@@ -136,7 +134,9 @@ class CholecDataset:
             else:
                 arr = T.eval_transform(img, self.image_size)
             item["image"] = arr
-        if two_views and decode:
+        if two_views and decode and self.device_augment and rng is not None:
+            pass  # device path: views are generated on-chip from "image"
+        elif two_views and decode:
             # TERL two-crop protocol (TERL/6_baseline_learnT/dataloader.py:
             # 101,233-266): two independent augmentations of the same frame
             item["image2"] = (

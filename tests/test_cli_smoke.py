@@ -112,6 +112,22 @@ def test_student_driver_device_augment_smoke(tiny_root, tmp_path):
 
 
 @pytest.mark.slow
+def test_terl_driver_device_augment_smoke(tiny_root, tmp_path):
+    """TERL --device_augment: both contrastive views generated on device
+    from one uint8 upload."""
+    from computervision_codes_tpu.cli import terl_learnt
+
+    terl_learnt.main([
+        "-t", "--data_dir", tiny_root, "-k", "1",
+        "--backbone", "swin_nano_64", "--img_size", "64", "--mlp",
+        "--moco_k", "8", "-b", "4", "--epochs", "1", "--w_epoch", "1",
+        "--device_augment",
+        "--version", "devaug2", "--ckpt_root", str(tmp_path / "ckpt"),
+        "--val_interval", "99",
+    ])
+
+
+@pytest.mark.slow
 def test_teacher_driver_tp_smoke(tiny_root, tmp_path):
     """--tp_devices/--dp_devices on the teacher driver: one epoch + eval of
     a nano Q2L under a 2 (data) x 4 (model) mesh on the 8 virtual devices.

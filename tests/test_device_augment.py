@@ -134,5 +134,22 @@ def test_pipeline_device_augment_mode(tmp_path, rng):
     assert tr["image"].dtype == np.uint8 and tr["image"].shape == (16, 20, 3)
     ev = ds.load_frame(v, 0, rng=None)
     assert ev["image"].dtype == np.float32
-    with pytest.raises(NotImplementedError):
-        ds.load_frame(v, 0, rng=np.random.default_rng(0), two_views=True)
+    # two-view mode ships ONE uint8 frame; views are generated on device
+    tv = ds.load_frame(v, 0, rng=np.random.default_rng(0), two_views=True)
+    assert tv["image"].dtype == np.uint8 and "image2" not in tv
+
+
+def test_make_device_augment_two_view(rng):
+    """Two-view mode: both outputs are valid augmentations of the batch and
+    independently random (they differ somewhere with these augs)."""
+    x = _u8(rng, b=16)
+    fn2 = make_device_augment(("vflip", "hflip"), two_view=True)
+    v1, v2 = fn2(jax.random.PRNGKey(5), jnp.asarray(x))
+    v1, v2 = np.asarray(v1), np.asarray(v2)
+    base = np.asarray(normalize_u8(jnp.asarray(x)))
+    cands = [base, base[:, ::-1], base[:, :, ::-1], base[:, ::-1, ::-1]]
+    for view in (v1, v2):
+        for i in range(16):
+            assert any(np.allclose(view[i], c[i], atol=1e-6)
+                       for c in cands)
+    assert not np.allclose(v1, v2)
