@@ -8,6 +8,10 @@ from .pipeline import (
     pipeline_blocks,
     stack_block_params,
 )
+from .swin_pipeline import (
+    extract_stage_pairs,
+    pipelined_swin_stage,
+)
 from .tp import (
     shard_params_tp,
     shard_state_tp,
@@ -35,4 +39,5 @@ __all__ = [
     "tp_shardings", "shard_params_tp", "shard_state_tp",
     "sharded_leaf_count",
     "pipeline_blocks", "stack_block_params",
+    "extract_stage_pairs", "pipelined_swin_stage",
 ]

@@ -70,6 +70,47 @@ def test_pipeline_swin_block_pairs(rng):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_swin_stage_extraction_and_pipeline(rng):
+    """Bridge from a REAL SwinTransformer param tree: extract stage-2's
+    4 blocks (2 shift-pairs), pipeline over 2 stages, match the
+    sequential block loop on the same extracted params."""
+    from computervision_codes_tpu.models.swin import SwinBlock, SwinTransformer
+    from computervision_codes_tpu.parallel.swin_pipeline import (
+        extract_stage_pairs,
+        pipelined_swin_stage,
+    )
+
+    model = SwinTransformer(embed_dim=16, depths=(1, 1, 4, 1),
+                            num_heads=(1, 2, 4, 8), window_size=4,
+                            drop_path_rate=0.0, fused_eval=False)
+    imgs = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), imgs)["params"]
+    stacked, n_blocks = extract_stage_pairs(params, 2)
+    assert n_blocks == 4
+
+    dim, heads, w = 16 * 4, 4, 4
+    x = jnp.asarray(rng.standard_normal((4, 8, 8, dim)), jnp.float32)
+    b0 = SwinBlock(dim=dim, num_heads=heads, window=w, shift=0,
+                   fused_eval=False)
+    b1 = SwinBlock(dim=dim, num_heads=heads, window=w, shift=2,
+                   fused_eval=False)
+    want = x
+    for d in range(0, 4, 2):
+        want = b0.apply({"params": params[f"stage2_block{d}"]}, want)
+        want = b1.apply({"params": params[f"stage2_block{d + 1}"]}, want)
+
+    mesh = make_mesh(n_data=1, n_seq=1, n_model=2)
+    got = pipelined_swin_stage(stacked, x, mesh, n_micro=2, dim=dim,
+                               num_heads=heads, window=w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    with pytest.raises(ValueError, match="no stage9"):
+        extract_stage_pairs(params, 9)
+    with pytest.raises(ValueError, match="whole shift-pairs"):
+        extract_stage_pairs(params, 0)  # depth 1
+
+
 def test_pipeline_validates_divisibility(rng):
     layers = _mlp_stack(rng, 6, 8)
     x = jnp.zeros((4, 8), jnp.float32)
