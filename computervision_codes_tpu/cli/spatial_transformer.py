@@ -85,15 +85,25 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
     logger = ExperimentLogger(model_dir, modelname)
     ckpt = CheckpointManager(model_dir, modelname)
 
+    # Pallas kernels (fused eval/train, int8 quant_eval) have no GSPMD
+    # partitioning rule — under tensor parallelism the sharded leaves are
+    # exactly the ones those kernels consume, so force the XLA path
+    tp_active = flags.tp_devices > 1
+    if tp_active and (flags.fused_train or flags.quant_eval):
+        print("[tp] --tp_devices forces the XLA path: ignoring "
+              "--fused_train/--quant_eval (Pallas kernels cannot be "
+              "partitioned over the model axis)")
+    fused_eval = False if tp_active else None
     model = Q2L(backbone=flags.backbone, loss_type=flags.loss_type,
                 teacher_dim=flags.teacher_dim, dtype=dtype,
-                fused_train=flags.fused_train)
+                fused_eval=fused_eval,
+                fused_train=flags.fused_train and not tp_active)
     # eval/dump may run the int8 serving path; the TRAIN model/params are
     # shared (quant_eval only changes fused-kernel execution, not the tree)
     eval_model = Q2L(backbone=flags.backbone, loss_type=flags.loss_type,
                      teacher_dim=flags.teacher_dim, dtype=dtype,
                      quant_eval=True, quant_min_dim=flags.quant_min_dim) \
-        if flags.quant_eval else model
+        if flags.quant_eval and not tp_active else model
     steps_per_epoch = max(1, len(dataset.frame_index(split.train)) // flags.batch)
     sched = reference_warmup_exp_schedule(
         flags.initial_learning_rates[2], flags.power, flags.warmups[2],

@@ -81,6 +81,13 @@ def pipeline_blocks(apply_one: Callable, stacked_params, x: jnp.ndarray,
         lambda leaf: leaf.reshape((d, n_layers // d) + leaf.shape[1:]),
         stacked_params)
     micro = x.reshape((n_micro, mb) + x.shape[1:])
+    # DP x PP composition: when the mesh carries a data axis, the
+    # microbatch CONTENTS shard over it (each chip sees mb/n_data rows);
+    # indivisible mb falls back to replication
+    from .mesh import DATA_AXIS
+
+    n_data = mesh.shape.get(DATA_AXIS, 1)
+    dshard = DATA_AXIS if (n_data > 1 and mb % n_data == 0) else None
 
     def body(my_stage_params, micro_local):
         stage = jax.lax.axis_index(axis)
@@ -116,12 +123,15 @@ def pipeline_blocks(apply_one: Callable, stacked_params, x: jnp.ndarray,
 
         (_, outs), _ = jax.lax.scan(step, (init_carry, init_out),
                                     jnp.arange(n_steps))
-        # only the last stage holds real outputs; psum replicates them
-        return jax.lax.psum(outs, axis)
+        # per-stage buffers stack on a new leading axis; only the last
+        # stage's is real and the caller indexes it out — NO collective
+        # here (a psum would all-reduce D-1 zero buffers over ICI)
+        return outs[None]
 
     fn = shard_map(
         body, mesh=mesh,
-        in_specs=(jax.tree.map(lambda _: P(axis), staged), P()),
-        out_specs=P(), check_rep=False)
-    out = fn(staged, micro)
+        in_specs=(jax.tree.map(lambda _: P(axis), staged),
+                  P(None, dshard)),
+        out_specs=P(axis, None, dshard), check_rep=False)
+    out = fn(staged, micro)[d - 1]
     return out.reshape((b,) + x.shape[1:])

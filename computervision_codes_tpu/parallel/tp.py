@@ -41,7 +41,7 @@ and EMA copies shard identically for free.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -138,7 +138,7 @@ def shard_state_tp(state, mesh: Mesh):
         state)
 
 
-def sharded_leaf_count(tree, mesh: Optional[Mesh] = None) -> int:
+def sharded_leaf_count(tree) -> int:
     """How many leaves actually carry a model-axis split (attestation)."""
     count = 0
     for path, v in jax.tree_util.tree_leaves_with_path(tree):

@@ -28,8 +28,12 @@ def main():
         make_device_augment,
     )
 
+    # feed f32 and cast to uint8 INSIDE the timed fn: timed_scan's
+    # anti-hoisting eps (~1e-3) is a no-op on a uint8 arg (astype rounds
+    # it to 0 -> loop-invariant input -> XLA hoists the whole augment out
+    # of the scan and the timing is bogus)
     x = jax.random.randint(jax.random.PRNGKey(0), (b, h, w, 3), 0, 256,
-                           jnp.int32).astype(jnp.uint8)
+                           jnp.int32).astype(jnp.float32)
     key = jax.random.PRNGKey(1)
 
     for augs, label in (
@@ -40,7 +44,8 @@ def main():
              "reference default list"),
     ):
         fn = make_device_augment(augs)
-        s = timed_scan(lambda x: fn(key, x).astype(jnp.float32).mean(), (x,))
+        s = timed_scan(lambda x: fn(
+            key, x.astype(jnp.uint8)).astype(jnp.float32).mean(), (x,))
         fps = b / s
         print(json.dumps({"row": f"device_augment {label}",
                           "batch": b, "sec_per_batch": round(s, 6),

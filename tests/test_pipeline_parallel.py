@@ -111,6 +111,21 @@ def test_swin_stage_extraction_and_pipeline(rng):
         extract_stage_pairs(params, 0)  # depth 1
 
 
+def test_pipeline_composes_with_data_axis(rng):
+    """DP x PP on one mesh: microbatch contents shard over `data` (each
+    chip holds mb/n_data rows), layers over `model` — same numbers."""
+    layers = _mlp_stack(rng, 4, 16)
+    x = jnp.asarray(rng.standard_normal((8, 4, 16)), jnp.float32)
+    want = x
+    for p in layers:
+        want = _mlp_block(p, want)
+    mesh = make_mesh(n_data=2, n_seq=1, n_model=4)
+    got = pipeline_blocks(_mlp_block, stack_block_params(layers), x,
+                          mesh, n_micro=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_pipeline_gradients_match_sequential(rng):
     """The schedule is differentiable: grads w.r.t. the stacked params
     through scan+ppermute+psum equal the sequential loop's (GPipe backward
