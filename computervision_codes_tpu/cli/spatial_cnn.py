@@ -142,7 +142,9 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
 
     if flags.train:
         from ..data.prefetch import prefetch_to_device
+        from ..utils.preempt import install_preemption_guard
 
+        guard = install_preemption_guard()
         for epoch in range(flags.epochs):
             logger.log(f"Training | epoch {epoch}", end=" | ")
             stream = batch_iterator(dataset, split.train, flags.batch,
@@ -153,6 +155,8 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
                       for b in stream)
             step_no = 0
             for jb in prefetch_to_device(stream, sharding=batch_sh):
+                if guard.requested:
+                    break
                 if aug_fn is not None:
                     jb = dict(jb)
                     jb["image"] = aug_fn(
@@ -161,6 +165,12 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
                         jb["image"])
                     step_no += 1
                 state, m = train_step(state, jb)
+            if guard.requested:
+                ckpt.save(state, tag="latest")
+                logger.log("preemption signal: saved _latest, stopping "
+                           "training (resume with --resume)")
+                result["preempted"] = True
+                break
             logger.scalars("train/loss",
                            {k: float(v) for k, v in m.items()}, epoch)
             if epoch % flags.val_interval == 0:

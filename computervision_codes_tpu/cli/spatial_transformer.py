@@ -158,17 +158,28 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
     result = {}
 
     if flags.train:
+        from ..utils.preempt import install_preemption_guard
+
+        guard = install_preemption_guard()
         for epoch in range(flags.epochs):
             for batch in batch_iterator(dataset, split.train, flags.batch,
                                         train=True, seed=flags.seed + epoch,
                                         teacher_dim=flags.teacher_dim,
                                         pad_last=True):
+                if guard.requested:
+                    break
                 jb = {k: jnp.asarray(v) for k, v in batch.items()
                       if k != "valid"}
                 if batch_sh is not None:
                     jb = {k: jax.device_put(v, batch_sh)
                           for k, v in jb.items()}
                 state, m = train_step(state, jb)
+            if guard.requested:
+                ckpt.save(state, tag="latest")
+                logger.log("preemption signal: saved _latest, stopping "
+                           "training (resume with --resume)")
+                result["preempted"] = True
+                break
             logger.scalars("train/loss",
                            {k: float(v) for k, v in m.items()}, epoch)
             if epoch % flags.val_interval == 0:

@@ -192,11 +192,16 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
     result = {}
 
     if flags.train:
+        from ..utils.preempt import install_preemption_guard
+
+        guard = install_preemption_guard()
         for epoch in range(flags.epochs):
             order = list(split.train)
             np_rng.shuffle(order)
             # batch windows from several videos together (static shapes)
             for start in range(0, len(order), flags.batch):
+                if guard.requested:
+                    break
                 group = order[start:start + flags.batch]
                 wins = [sample_window(np_rng, ds[v], flags.window)
                         for v in group]
@@ -217,6 +222,12 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
                         train_metric.update(labels[wi][: w.length],
                                             np.asarray(probs[wi][: w.length]))
                         train_metric.video_end()
+            if guard.requested:
+                ckpt.save(state, tag="latest")
+                logger.log("preemption signal: saved _latest, stopping "
+                           "training (resume with --resume)")
+                result["preempted"] = True
+                break
             scalars = {"loss": float(m["loss"])}
             if flags.log_train_map:
                 scalars["train_mAP"] = train_metric.compute_video_AP()["mAP"]

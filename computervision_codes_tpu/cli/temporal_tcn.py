@@ -169,27 +169,40 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
     result = {}
 
     if flags.train:
-        for epoch in range(flags.epochs):
-            order = list(split.train)
-            np_rng.shuffle(order)
-            order = order[: max(1, int(len(order) / flags.train_div))]
-            for video in order:
-                seq = sample_clip(np_rng, ds[video])
-                batch = pad_sequence_batch(seq)
-                jb = {k: jnp.asarray(v) for k, v in batch.items()
-                      if k != "length"}
-                state, m = train_step(state, jb)
-            logger.scalars("train/loss",
-                           {k: float(v) for k, v in m.items()}, epoch)
-            if epoch % flags.val_interval == 0:
-                common.reset_metrics(metrics)
-                run_eval(split.val, metrics)
-                selector = flags.loss_type if flags.loss_type in \
-                    ("i", "v", "t") else "ivt"
-                score = metrics[selector].compute_video_AP()["mAP"]
-                behaviour = ckpt.update(state, score, epoch, logger.logfile)
-                logger.log(f"epoch {epoch} val mAP[{selector}] "
-                           f"{score:.5f} ckpt {behaviour}")
+        from ..utils.preempt import PreemptionGuard
+
+        guard_cm = PreemptionGuard()
+        with guard_cm as guard:
+            for epoch in range(flags.epochs):
+                order = list(split.train)
+                np_rng.shuffle(order)
+                order = order[: max(1, int(len(order) / flags.train_div))]
+                for video in order:
+                    if guard.requested:
+                        break
+                    seq = sample_clip(np_rng, ds[video])
+                    batch = pad_sequence_batch(seq)
+                    jb = {k: jnp.asarray(v) for k, v in batch.items()
+                          if k != "length"}
+                    state, m = train_step(state, jb)
+                if guard.requested:
+                    ckpt.save(state, tag="latest")
+                    logger.log("preemption signal: saved _latest, "
+                               "stopping training (resume with --resume)")
+                    result["preempted"] = True
+                    break
+                logger.scalars("train/loss",
+                               {k: float(v) for k, v in m.items()}, epoch)
+                if epoch % flags.val_interval == 0:
+                    common.reset_metrics(metrics)
+                    run_eval(split.val, metrics)
+                    selector = flags.loss_type if flags.loss_type in \
+                        ("i", "v", "t") else "ivt"
+                    score = metrics[selector].compute_video_AP()["mAP"]
+                    behaviour = ckpt.update(state, score, epoch,
+                                            logger.logfile)
+                    logger.log(f"epoch {epoch} val mAP[{selector}] "
+                               f"{score:.5f} ckpt {behaviour}")
         result["train_epochs"] = flags.epochs
 
     if flags.test:

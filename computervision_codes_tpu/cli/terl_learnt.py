@@ -209,13 +209,16 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
     result = {}
 
     if flags.train:
+        from ..utils.preempt import install_preemption_guard
+
+        guard = install_preemption_guard()
         for epoch in range(flags.epochs):
             n_batches = 0
             max_batches = steps_per_epoch / flags.train_div
             for batch in batch_iterator(dataset, split.train, flags.batch,
                                         train=True, seed=flags.seed + epoch,
                                         pad_last=True, two_views=True):
-                if n_batches > max_batches:
+                if n_batches > max_batches or guard.requested:
                     break  # --train_div partial epoch (run.py:238-239)
                 lab_ivt = batch["label_ivt"][:, class_map]  # remapped space
                 tail_labels = lab_ivt * tail_ivt_mask[None, :]
@@ -241,6 +244,12 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
                         batch[f"label_{k}"].astype(np.float32))
                 state, m = train_step(state, jb, jnp.asarray(epoch))
                 n_batches += 1
+            if guard.requested:
+                ckpt.save(state, tag="latest")
+                logger.log("preemption signal: saved _latest, stopping "
+                           "training (resume with --resume)")
+                result["preempted"] = True
+                break
             logger.scalars("train/loss",
                            {k: float(v) for k, v in m.items()}, epoch)
             if epoch == flags.w_epoch - 1:
