@@ -134,6 +134,27 @@ def sharpness_u8(x: jnp.ndarray, factor: float = 1.6) -> jnp.ndarray:
     return jnp.where(interior, out, f).astype(jnp.uint8)
 
 
+def jitter_u8(x: jnp.ndarray, brightness: jnp.ndarray,
+              contrast: jnp.ndarray) -> jnp.ndarray:
+    """PIL-parity color jitter on a uint8 batch: ImageEnhance.Brightness
+    (blend toward black) then .Contrast (blend toward the rounded mean of
+    the ITU-R 601-2 L conversion), per-sample factors (B,)-shaped —
+    transforms.py:_color_jitter semantics within <=1 level."""
+    f = x.astype(jnp.float32)
+    b = brightness.reshape(-1, 1, 1, 1).astype(jnp.float32)
+    c = contrast.reshape(-1, 1, 1, 1).astype(jnp.float32)
+    # Brightness: blend(black, img, b) — PIL's C blend TRUNCATES the float
+    # result toward zero ((UINT8) cast), it does not round
+    f = jnp.clip(jnp.trunc(f * b), 0, 255)
+    # Contrast: PIL's L lut is (r*19595 + g*38470 + b*7471 + 0x8000) >> 16;
+    # the blend target is the L mean rounded half-up (int(mean + 0.5))
+    lum = jnp.floor((f[..., 0] * 19595 + f[..., 1] * 38470
+                     + f[..., 2] * 7471 + 32768) / 65536.0)
+    mean = jnp.floor(jnp.mean(lum, axis=(1, 2), keepdims=True) + 0.5)
+    out = mean[..., None] + c * (f - mean[..., None])
+    return jnp.clip(jnp.trunc(out), 0, 255).astype(jnp.uint8)
+
+
 def make_device_augment(augmentation_list: Sequence[str] = DEFAULT_AUGS,
                         dtype=jnp.float32, two_view: bool = False):
     """Jittable ``(key, uint8 (B,H,W,3)) -> normalized (B,H,W,3) dtype``
@@ -143,7 +164,7 @@ def make_device_augment(augmentation_list: Sequence[str] = DEFAULT_AUGS,
     same batch (the TERL two-crop protocol) from one uint8 upload."""
     augs = tuple(augmentation_list)
     known = {"original", "vflip", "hflip", "contrast", "rot90",
-             "brightness"}
+             "brightness", "jitter"}
     for aug in augs:
         if aug not in known:
             raise ValueError(
@@ -172,6 +193,11 @@ def make_device_augment(augmentation_list: Sequence[str] = DEFAULT_AUGS,
             elif aug == "brightness":
                 m = jax.random.uniform(sub, (b, 1, 1, 1)) < 0.5
                 x = jnp.where(m, sharpness_u8(x), x)
+            elif aug == "jitter":
+                kb, kc = jax.random.split(sub)
+                bf = jax.random.uniform(kb, (b,), minval=0.9, maxval=1.1)
+                cf = jax.random.uniform(kc, (b,), minval=0.8, maxval=1.2)
+                x = jitter_u8(x, bf, cf)
         return normalize_u8(x, dtype)
 
     if two_view:

@@ -111,9 +111,31 @@ def test_make_device_augment_full_list_runs(rng):
     assert out.min() >= -3.0 and out.max() <= 3.0
 
 
+def test_jitter_within_one_level_of_pil(rng):
+    from PIL import ImageEnhance
+
+    from computervision_codes_tpu.data.device_augment import jitter_u8
+    import jax.numpy as jnp2
+
+    x = _u8(rng, b=3)
+    bf = np.array([0.92, 1.0, 1.08], np.float32)
+    cf = np.array([0.85, 1.15, 1.0], np.float32)
+    got = np.asarray(jitter_u8(jnp2.asarray(x), jnp2.asarray(bf),
+                               jnp2.asarray(cf))).astype(np.int32)
+    want = []
+    for i in range(3):
+        im = ImageEnhance.Brightness(Image.fromarray(x[i])).enhance(
+            float(bf[i]))
+        im = ImageEnhance.Contrast(im).enhance(float(cf[i]))
+        want.append(np.asarray(im))
+    want = np.stack(want).astype(np.int32)
+    assert np.abs(got - want).max() <= 1
+    assert (got == want).mean() > 0.95
+
+
 def test_make_device_augment_rejects_host_only():
     with pytest.raises(ValueError, match="host-only"):
-        make_device_augment(("jitter",))
+        make_device_augment(("not_an_aug",))
 
 
 def test_pipeline_device_augment_mode(tmp_path, rng):
