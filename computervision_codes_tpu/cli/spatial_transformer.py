@@ -56,6 +56,10 @@ def parse_flags(argv: Optional[Sequence[str]] = None):
     p.add_argument("--dp_devices", type=int, default=0,
                    help="data-parallel devices (batch sharded over the "
                         "mesh data axis; 0/1 = single device)")
+    p.add_argument("--device_augment", action="store_true",
+                   help="run train-time augmentation + normalization on "
+                        "device (data/device_augment.py): the host only "
+                        "decodes+resizes and ships uint8")
     p.add_argument("--tp_devices", type=int, default=0,
                    help="tensor-parallel devices: Megatron-style GSPMD "
                         "param placement over the mesh model axis "
@@ -71,7 +75,8 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
 
     dataset = CholecDataset(flags.data_dir, flags.dataset_variant, flags.kfold,
                             augmentation_list=flags.augmentation_list,
-                            image_size=(flags.image_height, flags.image_width))
+                            image_size=(flags.image_height, flags.image_width),
+                            device_augment=flags.device_augment)
     split = dataset.split
     feats_root = flags.feats_dir or f"{flags.data_dir}/data_feats"
     if flags.loss_type == "all" and flags.train:
@@ -157,10 +162,18 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
                       flags.batch, f"backbone {flags.backbone}")
     result = {}
 
+    aug_fn = None
+    if flags.device_augment:
+        from ..data.device_augment import make_device_augment
+
+        aug_fn = make_device_augment(tuple(flags.augmentation_list))
+        aug_base = jax.random.PRNGKey(flags.seed ^ 0x5EED)
+
     if flags.train:
         from ..utils.preempt import install_preemption_guard
 
         guard = install_preemption_guard()
+        step_no = 0
         for epoch in range(flags.epochs):
             for batch in batch_iterator(dataset, split.train, flags.batch,
                                         train=True, seed=flags.seed + epoch,
@@ -170,6 +183,10 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
                     break
                 jb = {k: jnp.asarray(v) for k, v in batch.items()
                       if k != "valid"}
+                if aug_fn is not None:
+                    jb["image"] = aug_fn(
+                        jax.random.fold_in(aug_base, step_no), jb["image"])
+                    step_no += 1
                 if batch_sh is not None:
                     jb = {k: jax.device_put(v, batch_sh)
                           for k, v in jb.items()}
