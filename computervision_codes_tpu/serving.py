@@ -399,6 +399,31 @@ class StreamingSession:
                    frames_seen_per_stream=np.zeros(streams, np.int64),
                    exportable=(jitted, var_shapes, buf_shape))
 
+    @classmethod
+    def from_checkpoint(cls, directory: str, modelname: str, **kwargs
+                        ) -> "StreamingSession":
+        """Load a trained EndToEndRecognizer state (msgpack CheckpointManager
+        layout) into a compiled streaming session (same restore path as
+        InferenceSession.from_checkpoint)."""
+        from .train.checkpoint import CheckpointManager
+        from .train import build_sgd, create_train_state
+
+        model = EndToEndRecognizer(
+            network=kwargs.get("network", "resnet18"),
+            num_layers_pg=kwargs.get("num_layers_pg", 11),
+            num_layers_r=kwargs.get("num_layers_r", 10),
+            num_refinements=kwargs.get("num_refinements", 3),
+            num_f_maps=kwargs.get("num_f_maps", 512), dtype=jnp.bfloat16)
+        template = create_train_state(
+            model, build_sgd(1e-2), jax.random.PRNGKey(0),
+            (jnp.zeros((1, 4, kwargs.get("height", 256),
+                        kwargs.get("width", 448), 3), jnp.bfloat16),))
+        state = CheckpointManager(directory, modelname).restore(template)
+        return cls.create(variables={"params": state.params,
+                                     **({"batch_stats": state.batch_stats}
+                                        if state.batch_stats is not None
+                                        else {})}, **kwargs)
+
     def push(self, frame) -> Dict[str, np.ndarray]:
         """One frame per stream — (H, W, 3) for a single-stream session or
         (S, H, W, 3) — uint8 or normalized float -> per-stream
