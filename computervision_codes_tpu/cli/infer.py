@@ -20,7 +20,12 @@ The offline path windows the video into (batch, clip_len) clips through
 the AOT-compiled InferenceSession (uint8 in, normalization on device) and
 trims the tail padding; `--streaming` instead drives the per-frame
 StreamingSession (causal ring buffer) for latency-realistic output.
-Output: .npz with float32 arrays i/v/t/ivt of shape (T, C).
+
+Host memory stays bounded at two decode chunks regardless of video
+length (a 2 h surgery is ~180k frames ≈ 62 GB of uint8 at the serving
+geometry — never materialized): frames are decoded span-by-span, with the
+next span decoding on a worker thread while the device scores the current
+one. Output: .npz with float32 arrays i/v/t/ivt of shape (T, C).
 """
 
 from __future__ import annotations
@@ -31,32 +36,56 @@ from typing import Optional, Sequence
 
 import numpy as np
 
+TASKS = ("ivt", "i", "v", "t")
 
-def _load_frames_u8(flags) -> np.ndarray:
-    """(T, H, W, 3) uint8 at the serving geometry."""
-    h, w = flags.height, flags.width
-    if flags.video.endswith((".avi", ".mjpg")):
-        from ..data import native
 
-        if not native.video_supported():
-            raise RuntimeError("container input needs the native plane — "
-                               "run native/build.sh")
-        with native.VideoReader(flags.video) as vr:
-            return vr.read_u8(list(range(len(vr))), (h, w))
-    if os.path.isdir(flags.video):
+class _FrameSource:
+    """Random-access uint8 frames at the serving geometry.
+
+    Both backends decode on demand so the driver can hold just the spans
+    in flight instead of the whole video.
+    """
+
+    def __init__(self, video: str, size):
+        self._size = size
+        self._vr = None
+        if video.endswith((".avi", ".mjpg")):
+            from ..data import native
+
+            if not native.video_supported():
+                raise RuntimeError("container input needs the native plane "
+                                   "— run native/build.sh")
+            self._vr = native.VideoReader(video)
+            self._n = len(self._vr)
+        elif os.path.isdir(video):
+            self._names = [os.path.join(video, f)
+                           for f in sorted(os.listdir(video))
+                           if f.endswith((".png", ".jpg"))]
+            if not self._names:
+                raise ValueError(f"no frames in {video}")
+            self._n = len(self._names)
+        else:
+            raise ValueError(f"--video must be an .avi/.mjpg container or "
+                             f"a frame directory, got {video!r}")
+
+    def __len__(self) -> int:
+        return self._n
+
+    def read(self, start: int, count: int) -> np.ndarray:
+        """(min(count, T-start), H, W, 3) uint8 — clamped at the tail."""
+        stop = min(start + count, self._n)
+        if self._vr is not None:
+            return self._vr.read_u8(list(range(start, stop)), self._size)
         from PIL import Image
 
         from ..data.transforms import raw_resize_u8
 
-        names = sorted(f for f in os.listdir(flags.video)
-                       if f.endswith((".png", ".jpg")))
-        if not names:
-            raise ValueError(f"no frames in {flags.video}")
-        return np.stack([
-            raw_resize_u8(Image.open(os.path.join(flags.video, f)), (h, w))
-            for f in names])
-    raise ValueError(f"--video must be an .avi/.mjpg container or a frame "
-                     f"directory, got {flags.video!r}")
+        return np.stack([raw_resize_u8(Image.open(p), self._size)
+                         for p in self._names[start:stop]])
+
+    def close(self):
+        if self._vr is not None:
+            self._vr.close()
 
 
 def main(argv: Optional[Sequence[str]] = None) -> dict:
@@ -91,60 +120,57 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
                    help="write .npz of per-frame probabilities here")
     flags, _ = p.parse_known_args(argv)
 
-    frames = _load_frames_u8(flags)
-    t = frames.shape[0]
+    src = _FrameSource(flags.video, (flags.height, flags.width))
+    t = len(src)
 
     from .. import serving
 
-    if flags.streaming:
-        if flags.servable:
-            sess = serving.StreamingSession.load_exported(flags.servable)
-        else:
-            kw = dict(streams=1, height=flags.height, width=flags.width,
-                      network=flags.network, quantize=flags.quantize,
-                      context=flags.context,
-                      num_layers_pg=flags.num_layers_PG,
-                      num_layers_r=flags.num_layers_R,
-                      num_refinements=flags.num_R,
-                      num_f_maps=flags.num_f_maps)
-            if flags.ckpt_dir:
-                sess = serving.StreamingSession.from_checkpoint(
-                    flags.ckpt_dir, flags.modelname, **kw)
-            elif flags.random_init:
-                sess = serving.StreamingSession.create(**kw)
+    try:
+        if flags.streaming:
+            if flags.servable:
+                sess = serving.StreamingSession.load_exported(flags.servable)
             else:
-                raise ValueError("need --servable, --ckpt_dir or "
-                                 "--random_init")
-        # push() squeezes the stream dim for single-stream sessions
-        outs = [sess.push(frames[i]) for i in range(t)]
-        probs = {k: np.stack([o[k] for o in outs]) for k in
-                 ("ivt", "i", "v", "t")}
-    else:
-        if flags.servable:
-            sess = serving.InferenceSession.load_exported(flags.servable)
-            b, cl = sess.batch, sess.clip_len
+                kw = dict(streams=1, height=flags.height, width=flags.width,
+                          network=flags.network, quantize=flags.quantize,
+                          context=flags.context,
+                          num_layers_pg=flags.num_layers_PG,
+                          num_layers_r=flags.num_layers_R,
+                          num_refinements=flags.num_R,
+                          num_f_maps=flags.num_f_maps)
+                if flags.ckpt_dir:
+                    sess = serving.StreamingSession.from_checkpoint(
+                        flags.ckpt_dir, flags.modelname, **kw)
+                elif flags.random_init:
+                    sess = serving.StreamingSession.create(**kw)
+                else:
+                    raise ValueError("need --servable, --ckpt_dir or "
+                                     "--random_init")
+            # push() squeezes the stream dim for single-stream sessions
+            probs = _drive(src, t, span=max(flags.batch * flags.clip_len,
+                                            256),
+                           score=lambda chunk: _score_streaming(sess, chunk))
         else:
-            b, cl = flags.batch, flags.clip_len
-            kw = dict(batch=b, clip_len=cl, height=flags.height,
-                      width=flags.width, network=flags.network,
-                      quantize=flags.quantize)
-            if flags.ckpt_dir:
-                sess = serving.InferenceSession.from_checkpoint(
-                    flags.ckpt_dir, flags.modelname, **kw)
-            elif flags.random_init:
-                sess = serving.InferenceSession.create(**kw)
+            if flags.servable:
+                sess = serving.InferenceSession.load_exported(flags.servable)
+                b, cl = sess.batch, sess.clip_len
             else:
-                raise ValueError("need --servable, --ckpt_dir or "
-                                 "--random_init")
-        span = b * cl
-        padded = int(np.ceil(t / span)) * span
-        clips = np.zeros((padded,) + frames.shape[1:], np.uint8)
-        clips[:t] = frames
-        clips = clips.reshape(-1, b, cl, *frames.shape[1:])
-        chunks = [sess.predict(c) for c in clips]
-        probs = {k: np.concatenate(
-            [np.asarray(c[k]).reshape(span, -1) for c in chunks])[:t]
-            for k in ("ivt", "i", "v", "t")}
+                b, cl = flags.batch, flags.clip_len
+                kw = dict(batch=b, clip_len=cl, height=flags.height,
+                          width=flags.width, network=flags.network,
+                          quantize=flags.quantize)
+                if flags.ckpt_dir:
+                    sess = serving.InferenceSession.from_checkpoint(
+                        flags.ckpt_dir, flags.modelname, **kw)
+                elif flags.random_init:
+                    sess = serving.InferenceSession.create(**kw)
+                else:
+                    raise ValueError("need --servable, --ckpt_dir or "
+                                     "--random_init")
+            probs = _drive(src, t, span=b * cl,
+                           score=lambda chunk: _score_offline(sess, b, cl,
+                                                              chunk))
+    finally:
+        src.close()
 
     result = {"frames": t, "probs": probs}
     top = np.argmax(probs["ivt"], axis=1)
@@ -157,6 +183,39 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
         print(f"wrote {flags.out}")
         result["out"] = flags.out
     return result
+
+
+def _score_offline(sess, batch: int, clip_len: int,
+                   chunk: np.ndarray) -> dict:
+    """One span (<= batch*clip_len frames) -> per-frame probs, tail
+    zero-padded to the compiled shape and trimmed back."""
+    n, span = chunk.shape[0], batch * clip_len
+    if n < span:
+        chunk = np.concatenate(
+            [chunk, np.zeros((span - n,) + chunk.shape[1:], np.uint8)])
+    out = sess.predict(chunk.reshape(batch, clip_len, *chunk.shape[1:]))
+    return {k: np.asarray(out[k]).reshape(span, -1)[:n] for k in TASKS}
+
+
+def _score_streaming(sess, chunk: np.ndarray) -> dict:
+    outs = [sess.push(frame) for frame in chunk]
+    return {k: np.stack([o[k] for o in outs]) for k in TASKS}
+
+
+def _drive(src: _FrameSource, t: int, span: int, score) -> dict:
+    """Decode span i+1 on a worker thread while the device scores span i;
+    at most two spans of uint8 are resident at any time."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    parts = []
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        nxt = pool.submit(src.read, 0, span)
+        for start in range(0, t, span):
+            chunk = nxt.result()
+            if start + span < t:
+                nxt = pool.submit(src.read, start + span, span)
+            parts.append(score(chunk))
+    return {k: np.concatenate([p[k] for p in parts]) for k in TASKS}
 
 
 if __name__ == "__main__":
