@@ -305,9 +305,16 @@ class SwinBlock(nn.Module):
         # (dim 1536's is 14 MiB alone, and stage 4 is GEMM-bound). Odd
         # windows (the 224-class models' window 7) run at a padded (w+1)^2
         # geometry inside the kernel — Mosaic rejects the raw (49, C)
-        # shape casts ("infer-vector-layout: unsupported shape cast")
+        # shape casts ("infer-vector-layout: unsupported shape cast").
+        # On-chip A/B (scripts/swin_fused_bench.py --odd_window, v5e):
+        # the 64/49-padded geometry wins only while tokens dominate —
+        # 1.13-1.21x at dim 96, 1.02x at 192, 0.72-0.88x at 384/768
+        # (14^2 maps re-DMA full K/V per head for 23% padding waste) —
+        # so odd windows gate at dim <= 192; even windows (12) keep the
+        # round-3 measured <= 768 gate
+        fused_dim_max = 768 if w % 2 == 0 else 192
         fused_attn = (fused_base and hgt % w == 0 and wid % w == 0
-                      and self.dim <= 768)
+                      and self.dim <= fused_dim_max)
         # MLP kernel: hidden-chunked weights — applies at EVERY dim
         if fused_attn:
             # merged single-kernel block wins at dims <= 384 (1.06-1.10x,

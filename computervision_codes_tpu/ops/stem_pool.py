@@ -95,7 +95,7 @@ def _kernel(xs_ref, w_ref, b_ref, o_ref, *, h2, w2, pool_rows, chunk):
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
-def stem_pool_fused(x, w, bias, chunk: int = 32):
+def stem_pool_fused(x, w, bias, chunk: int | None = None):
     """x (B, H, W, 3) normalized frames (H, W divisible by 4);
     w (7, 7, 3, 64) BN-folded stem kernel; bias (64,).
     Returns (B, H/4, W/4, 64) == maxpool3x3/s2/p1(relu(conv7x7/s2/p3 + b)).
@@ -104,6 +104,15 @@ def stem_pool_fused(x, w, bias, chunk: int = 32):
     if h % 4 or wd % 4:
         raise ValueError(f"fused stem needs H, W divisible by 4, got "
                          f"{(h, wd)}")
+    if chunk is None:
+        # scoped-VMEM model, calibrated from the on-chip OOM at 256x448
+        # (chunk=32 allocated 18.38 MiB against Mosaic's 16 MiB stack —
+        # the per-chunk im2col patches/taps + f32 accumulator scale at
+        # ~2400 B per (pool row x conv col); fixed blocks ~1.75 MiB).
+        # Largest chunk <= 32 that keeps the estimate under 13.5 MiB.
+        fixed = (h // 2 + 3) * (wd // 2 + 3) * 12 * 2 \
+            + (h // 4) * (wd // 4) * 64 * 2 + 128 * 1024
+        chunk = max(4, min(32, int((13.5e6 - fixed) // ((wd // 2) * 2400))))
     oc = w.shape[-1]
     # host-side (XLA, fuses into the preceding normalize): pad + s2d view
     xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
