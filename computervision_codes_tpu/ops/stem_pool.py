@@ -84,8 +84,11 @@ def _kernel(xs_ref, w_ref, b_ref, o_ref, *, h2, w2, pool_rows, chunk):
         # rows now = 2*pr + 1 (local row l <-> conv row 2*p0 - 1 + l)
         body = conv[:2 * pr].reshape(pr, 2, cw + 1, 64)
         pair = jnp.maximum(body[:, 0], body[:, 1])      # rows 2p-1, 2p
-        third = jnp.concatenate([body[1:, 0], conv[2 * pr:2 * pr + 1]],
-                                axis=0)                 # rows 2p+1
+        if pr == 1:  # body[1:, 0] would be zero-size — Mosaic rejects
+            third = conv[2:3]                           # rows 2p+1
+        else:
+            third = jnp.concatenate([body[1:, 0], conv[2 * pr:2 * pr + 1]],
+                                    axis=0)             # rows 2p+1
         rowp = jnp.maximum(pair, third)                 # (pr, cw+1, 64)
         cbody = rowp[:, :2 * pw].reshape(pr, pw, 2, 64)
         cpair = jnp.maximum(cbody[:, :, 0], cbody[:, :, 1])
@@ -113,6 +116,10 @@ def stem_pool_fused(x, w, bias, chunk: int | None = None):
         fixed = (h // 2 + 3) * (wd // 2 + 3) * 12 * 2 \
             + (h // 4) * (wd // 4) * 64 * 2 + 128 * 1024
         chunk = max(4, min(32, int((13.5e6 - fixed) // ((wd // 2) * 2400))))
+        # a remainder chunk of 1 hits the Mosaic zero-size corner AND
+        # compiles a second kernel body for one row — shrink past it
+        while chunk > 4 and (h // 4) % chunk == 1:
+            chunk -= 1
     oc = w.shape[-1]
     # host-side (XLA, fuses into the preceding normalize): pad + s2d view
     xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
