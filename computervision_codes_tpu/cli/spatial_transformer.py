@@ -52,7 +52,19 @@ def parse_flags(argv: Optional[Sequence[str]] = None):
     p.add_argument("--fused_train", action="store_true",
                    help="train forward through the fused Pallas Swin "
                         "kernels (reference-autodiff backward — same "
-                        "gradients, faster step; ops/swin_train)")
+                        "gradients; ops/swin_train). On-chip A/B round 4: "
+                        "+3.3%% over save-nothing remat but LOSES under "
+                        "--remat with the default dots policy — prefer "
+                        "plain --remat")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize Swin blocks (jax.checkpoint) — "
+                        "needed to train SwinL-384 at useful batch sizes "
+                        "on one chip")
+    p.add_argument("--remat_policy", type=str, default="dots",
+                   choices=["dots", "none"],
+                   help="remat policy: 'dots' keeps GEMM outputs resident "
+                        "(measured 61.7 vs 56.3 fps, round-4 A/B); 'none' "
+                        "recomputes everything")
     p.add_argument("--dp_devices", type=int, default=0,
                    help="data-parallel devices (batch sharded over the "
                         "mesh data axis; 0/1 = single device)")
@@ -102,6 +114,9 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
     model = Q2L(backbone=flags.backbone, loss_type=flags.loss_type,
                 teacher_dim=flags.teacher_dim, dtype=dtype,
                 fused_eval=fused_eval,
+                remat=flags.remat,
+                remat_policy="" if flags.remat_policy == "none" else
+                flags.remat_policy,
                 fused_train=flags.fused_train and not tp_active)
     # eval/dump may run the int8 serving path; the TRAIN model/params are
     # shared (quant_eval only changes fused-kernel execution, not the tree)

@@ -184,8 +184,9 @@ class Q2L(nn.Module):
     drop_path_rate: float = 0.1
     remat: bool = False  # rematerialize Swin blocks — SwinL-384 training
     # at useful batch sizes needs it on one chip (see scripts/train_bench)
-    remat_policy: str = ""  # "" save-nothing | "dots" GEMM-saveable
-    # (models/swin.py remat_policy; train-step A/B q2l_dots)
+    remat_policy: str = "dots"  # "dots" GEMM-saveable | "" save-nothing
+    # (models/swin.py remat_policy; default measured faster on-chip:
+    # 61.7 vs 56.3 fps at SwinL-384 b=8, scripts/train_bench.py round 4)
     quant_eval: bool = False  # int8-MXU GEMMs in the Swin fused kernels
     # (PTQ, dims >= quant_min_dim) — the int8 teacher serving config
     quant_min_dim: int = 768

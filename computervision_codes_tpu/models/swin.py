@@ -306,15 +306,17 @@ class SwinBlock(nn.Module):
         # windows (the 224-class models' window 7) run at a padded (w+1)^2
         # geometry inside the kernel — Mosaic rejects the raw (49, C)
         # shape casts ("infer-vector-layout: unsupported shape cast").
-        # On-chip A/B (scripts/swin_fused_bench.py --odd_window, v5e):
-        # the 64/49-padded geometry wins only while tokens dominate —
-        # 1.13-1.21x at dim 96, 1.02x at 192, 0.72-0.88x at 384/768
-        # (14^2 maps re-DMA full K/V per head for 23% padding waste) —
-        # so odd windows gate at dim <= 192; even windows (12) keep the
-        # round-3 measured <= 768 gate
-        fused_dim_max = 768 if w % 2 == 0 else 192
+        # On-chip A/Bs (round 4, v5e): the per-op microbench said odd
+        # windows lose at stage-3 dims (0.72-0.88x at 384/768), but the
+        # END-TO-END A/B says the opposite — gating stage 3 back to XLA
+        # dropped swin_T_224 1.11x -> 1.056x and swin_L_224 1.313x ->
+        # 1.108x (scripts/swin224_bench.py, both orderings same session).
+        # The ~0.1-0.25 ms per-op rows sit under the ~27 ms dispatch
+        # overhead subtraction and the XLA<->Pallas layout transitions
+        # the microbench never pays. e2e wins: all windows fuse at
+        # dim <= 768.
         fused_attn = (fused_base and hgt % w == 0 and wid % w == 0
-                      and self.dim <= fused_dim_max)
+                      and self.dim <= 768)
         # MLP kernel: hidden-chunked weights — applies at EVERY dim
         if fused_attn:
             # merged single-kernel block wins at dims <= 384 (1.06-1.10x,
@@ -410,11 +412,11 @@ class SwinTransformer(nn.Module):
     # (stride == kernel makes it exact; C_in 3 -> 48 un-starves the MXU)
     remat: bool = False  # rematerialize blocks (jax.checkpoint) — trades
     # FLOPs for HBM so SwinL-384 trains on one chip at useful batch sizes
-    remat_policy: str = ""  # "" = save-nothing (recompute everything in
-    # backward); "dots" = dots_with_no_batch_dims_saveable — GEMM outputs
-    # stay resident so the backward skips recomputing the MXU work and
-    # only replays the cheap elementwise chain (train-step A/B,
-    # scripts/train_bench.py q2l_dots)
+    remat_policy: str = "dots"  # "dots" = dots_with_no_batch_dims_saveable —
+    # GEMM outputs stay resident so the backward skips recomputing the MXU
+    # work and only replays the cheap elementwise chain; "" = save-nothing.
+    # Default set by measurement: SwinL-384 Q2L train step 61.7 fps (dots)
+    # vs 56.3 (save-nothing) on v5e b=8 (scripts/train_bench.py, round 4)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact

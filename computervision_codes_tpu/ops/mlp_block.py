@@ -72,7 +72,8 @@ def q8_dot(x, wq, wscale):
 
 
 def _kernel(x_ref, gamma_ref, beta_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-            s1_ref, s2_ref, o_ref, *acc_ref, quant, res_add, n_chunks):
+            s1_ref, s2_ref, o_ref, *acc_ref, quant, res_add, n_chunks,
+            acc_f32=True):
     j = pl.program_id(1)
     x = x_ref[...]
     xf = x.astype(jnp.float32)
@@ -100,6 +101,19 @@ def _kernel(x_ref, gamma_ref, beta_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         o_ref[...] = x + ob if res_add else ob
         return
 
+    if not acc_f32:
+        # accumulate in the output dtype (one bf16 rounding per chunk) —
+        # the round-3 path, kept as an A/B arm for the f32 scratch's cost
+        @pl.when(j == 0)
+        def _():
+            ob = (o + b2_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
+            o_ref[...] = x + ob if res_add else ob
+
+        @pl.when(j > 0)
+        def _():
+            o_ref[...] = o_ref[...] + o.astype(o_ref.dtype)
+        return
+
     # hidden-chunked: partial sums accumulate in an f32 VMEM scratch so
     # the bf16 production path doesn't round once per chunk; cast to the
     # model dtype exactly once at the last chunk
@@ -121,10 +135,11 @@ def _kernel(x_ref, gamma_ref, beta_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 
 @functools.partial(jax.jit, static_argnames=("block_tokens",
                                              "hidden_chunk", "quant",
-                                             "res_add"))
+                                             "res_add", "acc_f32"))
 def mlp_block_fused(x, gamma, beta, w1, b1, w2, b2,
                     block_tokens: int = 1024, hidden_chunk: int = 0,
-                    quant: bool = False, res_add: bool = True):
+                    quant: bool = False, res_add: bool = True,
+                    acc_f32: bool = True):
     """x (..., C) -> x + mlp(LN(x)), fused. Leading dims are flattened;
     the largest power-of-two block <= block_tokens dividing T is used,
     ditto hidden_chunk vs the hidden width.
@@ -185,12 +200,12 @@ def mlp_block_fused(x, gamma, beta, w1, b1, w2, b2,
     n_chunks = hidden // hc
     out = pl.pallas_call(
         functools.partial(_kernel, quant=quant, res_add=res_add,
-                          n_chunks=n_chunks),
+                          n_chunks=n_chunks, acc_f32=acc_f32),
         out_shape=jax.ShapeDtypeStruct((t, c), x.dtype),
         # f32 accumulator only when chunking is active: the single-chunk
         # paths (all int8 auto configs) stay byte-identical in VMEM
         scratch_shapes=([pltpu.VMEM((blk, c), jnp.float32)]
-                        if n_chunks > 1 else []),
+                        if n_chunks > 1 and acc_f32 else []),
         # hidden chunks iterate fastest so each output block accumulates
         # in place before the next token block arrives
         grid=(t // blk, hidden // hc),

@@ -16,6 +16,17 @@ read back by reduce_window). This kernel:
   * applies bias + ReLU and the 3x3/s2 maxpool on the VMEM-resident conv
     output, so only the pooled (H/4, W/4, 64) map ever touches HBM.
 
+Row chunks are a GRID axis, not an in-kernel loop: Mosaic allocates
+scoped VMEM for the peak across a kernel body, and a static Python loop
+keeps every iteration's im2col/accumulator live (the 256x448 serving
+shape allocated 18.38 MiB against the 16 MiB stack regardless of chunk
+size). One chunk per grid step bounds the footprint to a single chunk's
+intermediates (~10 MiB at chunk=16) and the stack is reused across
+steps. The top pool-padding row (conv row -1) is handled uniformly: the
+first chunk computes conv rows [0, 2k] and predication shifts them down
+one slot behind a zero row; later chunks compute [2p0-1, 2p0+2k-1]
+directly.
+
 Maxpool padding note: torch pads the pool with -inf, but the pool input
 is post-ReLU (>= 0) and every edge window contains at least one real
 cell, so zero-padding is EXACT — the kernel prepends a zero row/column
@@ -40,61 +51,90 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(xs_ref, w_ref, b_ref, o_ref, *, h2, w2, pool_rows, chunk):
-    """One batch item per grid step; static python loop over row chunks.
+def _pool_cols(rowp, pr, cw, pw, dtype):
+    """3-tap/stride-2 column max over rowp (pr, cw+1, 64) that already
+    carries the zero pool-pad column at index 0."""
+    cbody = rowp[:, :2 * pw].reshape(pr, pw, 2, 64)
+    cpair = jnp.maximum(cbody[:, :, 0], cbody[:, :, 1])
+    cthird = jnp.concatenate(
+        [cbody[:, 1:, 0], rowp[:, 2 * pw:2 * pw + 1]], axis=1)
+    return jnp.maximum(cpair, cthird)
 
-    xs_ref: (1, h2, w2, 12) s2d input (padded); w_ref: (192, 64) tap-major
-    GEMM weights; o_ref: (1, pool_rows, cw//2, 64).
-    """
-    cw = w2 - 3          # conv output width  (= W/2)
-    ch = h2 - 3          # conv output height (= H/2)
-    pw = cw // 2         # pool output width  (= W/4)
+
+def _kernel_single(xs_ref, w_ref, b_ref, o_ref, *, h2, w2, pool_rows):
+    """Whole image in one step (small shapes — tests, thumbnails)."""
+    cw = w2 - 3
+    pw = cw // 2
     xs = xs_ref[0]
     bias = b_ref[...].astype(jnp.float32)
+    rows = 2 * pool_rows  # conv rows 0 .. 2*pool_rows-1 == ch-1
+    taps = []
+    for dy in range(4):
+        for dx in range(4):
+            sl = xs[dy:dy + rows, dx:dx + cw, :]
+            taps.append(sl.reshape(rows * cw, 12))
+    patches = jnp.concatenate(taps, axis=-1)  # (rows*cw, 192)
+    conv = jax.lax.dot_general(
+        patches, w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    conv = jax.nn.relu(conv + bias).astype(xs.dtype).reshape(rows, cw, 64)
+    # padded conv P: zero row 0 (pool top pad), then conv rows 0..ch-1
+    p = jnp.concatenate([jnp.zeros((1, cw, 64), xs.dtype), conv], axis=0)
+    p = jnp.concatenate([jnp.zeros((rows + 1, 1, 64), xs.dtype), p], axis=1)
+    body = p[:2 * pool_rows].reshape(pool_rows, 2, cw + 1, 64)
+    pair = jnp.maximum(body[:, 0], body[:, 1])
+    if pool_rows == 1:  # p[2::2] would be zero-size — Mosaic rejects
+        third = p[2:3]
+    else:
+        third = p[2:2 * pool_rows + 1:2]
+    rowp = jnp.maximum(pair, third)  # (pool_rows, cw+1, 64)
+    o_ref[0] = _pool_cols(rowp, pool_rows, cw, pw, xs.dtype)
 
-    for ci in range(pl.cdiv(pool_rows, chunk)):
-        p0 = ci * chunk
-        pr = min(chunk, pool_rows - p0)
-        # conv rows needed: 2*p0-1 .. 2*(p0+pr-1)+1; row -1 (chunk 0) is
-        # pool padding — a ZERO row prepended post-epilogue (NOT computed
-        # from zero input, whose epilogue would be relu(bias) != 0)
-        r_lo = max(0, 2 * p0 - 1)
-        r_hi = min(ch, 2 * (p0 + pr - 1) + 2)  # exclusive
-        rows = r_hi - r_lo
-        # im2col: 16 shifted views of xs, concatenated along channels
-        taps = []
-        for dy in range(4):
-            for dx in range(4):
-                sl = xs[r_lo + dy:r_lo + rows + dy, dx:dx + cw, :]
-                taps.append(sl.reshape(rows * cw, 12))
-        patches = jnp.concatenate(taps, axis=-1)  # (rows*cw, 192)
-        conv = jax.lax.dot_general(
-            patches, w_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        conv = jax.nn.relu(conv + bias).astype(xs.dtype)
-        conv = conv.reshape(rows, cw, 64)
-        if r_lo == 0 and 2 * p0 - 1 < 0:
-            conv = jnp.concatenate(
-                [jnp.zeros((1, cw, 64), xs.dtype), conv], axis=0)
-            rows += 1
-        # prepend the zero pool-pad COLUMN; right/bottom need none
-        # ((W/2 + 2 - 3)//2 + 1 == W/4 uses cols -1 .. W/2-1 only)
-        conv = jnp.concatenate(
-            [jnp.zeros((rows, 1, 64), xs.dtype), conv], axis=1)
-        # rows now = 2*pr + 1 (local row l <-> conv row 2*p0 - 1 + l)
-        body = conv[:2 * pr].reshape(pr, 2, cw + 1, 64)
-        pair = jnp.maximum(body[:, 0], body[:, 1])      # rows 2p-1, 2p
-        if pr == 1:  # body[1:, 0] would be zero-size — Mosaic rejects
-            third = conv[2:3]                           # rows 2p+1
-        else:
-            third = jnp.concatenate([body[1:, 0], conv[2 * pr:2 * pr + 1]],
-                                    axis=0)             # rows 2p+1
-        rowp = jnp.maximum(pair, third)                 # (pr, cw+1, 64)
-        cbody = rowp[:, :2 * pw].reshape(pr, pw, 2, 64)
-        cpair = jnp.maximum(cbody[:, :, 0], cbody[:, :, 1])
-        cthird = jnp.concatenate(
-            [cbody[:, 1:, 0], rowp[:, 2 * pw:2 * pw + 1]], axis=1)
-        o_ref[0, p0:p0 + pr] = jnp.maximum(cpair, cthird)
+
+def _kernel_grid(xs_ref, w_ref, b_ref, o_ref, *, h2, w2, chunk):
+    """One row chunk per grid step: pool rows [j*chunk, (j+1)*chunk)."""
+    cw = w2 - 3
+    pw = cw // 2
+    j = pl.program_id(1)
+    p0 = j * chunk
+    bias = b_ref[...].astype(jnp.float32)
+    nrows = 2 * chunk + 1  # conv rows this chunk contributes to the pool
+    # conv row window: s .. s+nrows-1, where s = 2*p0-1 except the first
+    # chunk, which starts at 0 (its row -1 is the zero pool pad)
+    s = jnp.maximum(2 * p0 - 1, 0)
+    xs = xs_ref[0, pl.ds(s, nrows + 3)]  # (nrows+3, w2, 12)
+    taps = []
+    for dy in range(4):
+        for dx in range(4):
+            sl = xs[dy:dy + nrows, dx:dx + cw, :]
+            taps.append(sl.reshape(nrows * cw, 12))
+    patches = jnp.concatenate(taps, axis=-1)  # (nrows*cw, 192)
+    conv = jax.lax.dot_general(
+        patches, w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    conv = jax.nn.relu(conv + bias).astype(xs.dtype).reshape(nrows, cw, 64)
+    # padded-conv block P[l] == pooled-coordinate row 2*p0 + l:
+    #   j == 0: P = [zero, conv[0 .. nrows-2]]   (zero = conv row -1)
+    #   j  > 0: P = conv                          (rows 2p0-1 .. 2p0+2k-1)
+    shifted = jnp.concatenate(
+        [jnp.zeros((1, cw, 64), xs.dtype), conv[:nrows - 1]], axis=0)
+    p = jnp.where(j == 0, shifted, conv)
+    # zero pool-pad COLUMN; right/bottom need none
+    # ((W/2 + 2 - 3)//2 + 1 == W/4 uses cols -1 .. W/2-1 only)
+    p = jnp.concatenate([jnp.zeros((nrows, 1, 64), xs.dtype), p], axis=1)
+    body = p[:2 * chunk].reshape(chunk, 2, cw + 1, 64)
+    pair = jnp.maximum(body[:, 0], body[:, 1])   # P rows 2l, 2l+1
+    third = p[2:2 * chunk + 1:2]                 # P rows 2l+2
+    rowp = jnp.maximum(pair, third)              # (chunk, cw+1, 64)
+    o_ref[0] = _pool_cols(rowp, chunk, cw, pw, xs.dtype)
+
+
+def _pick_chunk(pool_rows: int, target: int = 16) -> int:
+    """Largest divisor of pool_rows <= target (VMEM-bounded grid chunk)."""
+    for c in range(min(target, pool_rows), 0, -1):
+        if pool_rows % c == 0:
+            return c
+    return pool_rows
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
@@ -107,19 +147,11 @@ def stem_pool_fused(x, w, bias, chunk: int | None = None):
     if h % 4 or wd % 4:
         raise ValueError(f"fused stem needs H, W divisible by 4, got "
                          f"{(h, wd)}")
+    pool_rows, pool_cols = h // 4, wd // 4
     if chunk is None:
-        # scoped-VMEM model, calibrated from the on-chip OOM at 256x448
-        # (chunk=32 allocated 18.38 MiB against Mosaic's 16 MiB stack —
-        # the per-chunk im2col patches/taps + f32 accumulator scale at
-        # ~2400 B per (pool row x conv col); fixed blocks ~1.75 MiB).
-        # Largest chunk <= 32 that keeps the estimate under 13.5 MiB.
-        fixed = (h // 2 + 3) * (wd // 2 + 3) * 12 * 2 \
-            + (h // 4) * (wd // 4) * 64 * 2 + 128 * 1024
-        chunk = max(4, min(32, int((13.5e6 - fixed) // ((wd // 2) * 2400))))
-        # a remainder chunk of 1 hits the Mosaic zero-size corner AND
-        # compiles a second kernel body for one row — shrink past it
-        while chunk > 4 and (h // 4) % chunk == 1:
-            chunk -= 1
+        chunk = _pick_chunk(pool_rows)
+    else:
+        chunk = _pick_chunk(pool_rows, chunk)
     oc = w.shape[-1]
     # host-side (XLA, fuses into the preceding normalize): pad + s2d view
     xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
@@ -131,24 +163,38 @@ def stem_pool_fused(x, w, bias, chunk: int | None = None):
     k2 = kpad.reshape(4, 2, 4, 2, c, oc).transpose(0, 2, 1, 3, 4, 5)
     k2 = k2.reshape(16 * 4 * c, oc).astype(x.dtype)
 
-    pool_rows, pool_cols = h // 4, wd // 4
-    kernel = functools.partial(_kernel, h2=h2, w2=w2, pool_rows=pool_rows,
-                               chunk=chunk)
+    n_chunks = pool_rows // chunk
+    if n_chunks == 1:
+        kernel = functools.partial(_kernel_single, h2=h2, w2=w2,
+                                   pool_rows=pool_rows)
+        grid = (b,)
+        out_spec = pl.BlockSpec((1, pool_rows, pool_cols, oc),
+                                lambda i: (i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        in_idx = lambda i: (i, 0, 0, 0)  # noqa: E731
+        w_idx = lambda i: (0, 0)  # noqa: E731
+        b_idx = lambda i: (0,)  # noqa: E731
+    else:
+        kernel = functools.partial(_kernel_grid, h2=h2, w2=w2, chunk=chunk)
+        grid = (b, n_chunks)
+        out_spec = pl.BlockSpec((1, chunk, pool_cols, oc),
+                                lambda i, j: (i, j, 0, 0),
+                                memory_space=pltpu.VMEM)
+        in_idx = lambda i, j: (i, 0, 0, 0)  # noqa: E731
+        w_idx = lambda i, j: (0, 0)  # noqa: E731
+        b_idx = lambda i, j: (0,)  # noqa: E731
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, pool_rows, pool_cols, oc),
                                        x.dtype),
-        grid=(b,),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((1, h2, w2, 4 * c), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, h2, w2, 4 * c), in_idx,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16 * 4 * c, oc), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((oc,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16 * 4 * c, oc), w_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((oc,), b_idx, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, pool_rows, pool_cols, oc),
-                               lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         interpret=jax.default_backend() != "tpu",
     )(xs, k2, bias.astype(jnp.float32))
 

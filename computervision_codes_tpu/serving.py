@@ -549,8 +549,12 @@ class TeacherSession:
                calibrate_frames=None) -> "TeacherSession":
         from .models.q2l import Q2L
 
+        # s2d patch embed rides along with the int8 config: exact GEMM
+        # reparam of the 4x4/s4 patch conv, measured 1.096x over the
+        # stacked int8 path on-chip (scripts/int8_teacher_bench.py r4)
         model = Q2L(backbone=backbone, loss_type=loss_type,
-                    dtype=jnp.bfloat16, quant_eval=quantize)
+                    dtype=jnp.bfloat16, quant_eval=quantize,
+                    s2d_embed=quantize)
         if variables is None:
             variables = model.init(
                 jax.random.PRNGKey(0),

@@ -266,6 +266,12 @@ ROWS = {"kd": main, "q2l": q2l_teacher, "q2l_teacher": q2l_teacher,
         "q2l_dots": _ft.partial(q2l_teacher, remat_policy="dots"),
         "q2l_dots_fused": _ft.partial(q2l_teacher, remat_policy="dots",
                                       fused_train=True),
+        # batch scaling under the winning dots policy (HBM headroom check
+        # toward the 80-fps target)
+        "q2l_dots_b16": _ft.partial(q2l_teacher, batch=16,
+                                    remat_policy="dots"),
+        "q2l_dots_b32": _ft.partial(q2l_teacher, batch=32, iters=4,
+                                    remat_policy="dots"),
         "mstct": mstct, "tcn": tcn, "terl": terl}
 DEFAULT_ROWS = ("kd", "q2l", "mstct", "tcn", "terl")
 
