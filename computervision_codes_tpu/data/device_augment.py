@@ -110,6 +110,192 @@ def rotate_expand_resize_u8(x: jnp.ndarray,
     return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
 
 
+def _warp_pass_bounds(hs, ws, h, w, th_lo, th_hi):
+    """Static (python) worst-case geometry bounds for the two-pass warp
+    over rotation angles [th_lo, th_hi] U [-th_hi, -th_lo] degrees:
+    pass-1 resample width U1, line-shift pad P1, and the pass-2 pair.
+    Evaluated on a dense angle grid with numpy at trace time — the
+    resulting ints are static shapes."""
+    import numpy as np
+
+    th = np.deg2rad(np.concatenate([
+        np.linspace(th_lo, th_hi, 721), np.linspace(-th_hi, -th_lo, 721)]))
+    ca, sa = np.cos(th), np.sin(th)
+    we = np.abs(ws * ca) + np.abs(hs * sa)
+    he = np.abs(ws * sa) + np.abs(hs * ca)
+    u0 = 0.5 * we / w - 0.5 - (we - 1) / 2.0
+    v0 = 0.5 * he / h - 0.5 - (he - 1) / 2.0
+    a = ca * we / w
+    b = -sa * he / h
+    c = ca * u0 - sa * v0 + (ws - 1) / 2.0
+    d = sa * we / w
+    e = ca * he / h
+    f = sa * u0 + ca * v0 + (hs - 1) / 2.0
+    al1 = (a * e - b * d) / e
+    be1 = b / e
+    ga1 = c - b * f / e
+    off1 = np.minimum(0.0, al1 * (w - 1))
+    U1 = int(np.ceil(np.abs(al1 * (w - 1)).max())) + 2
+    d1 = np.concatenate([ga1 + off1, be1 * (hs - 1) + ga1 + off1])
+    P1 = int(np.ceil(max(-d1.min(), d1.max() + U1 - ws, 1.0))) + 2
+    off2 = np.minimum(0.0, e * (h - 1))
+    U2 = int(np.ceil(np.abs(e * (h - 1)).max())) + 2
+    d2 = np.concatenate([f + off2, d * (w - 1) + f + off2])
+    P2 = int(np.ceil(max(-d2.min(), d2.max() + U2 - hs, 1.0))) + 2
+    return U1, P1, U2, P2
+
+
+def _line_shift(lines: jnp.ndarray, delta: jnp.ndarray, span: int,
+                pad: int) -> jnp.ndarray:
+    """lines (B, L, S, C) -> (B, L, span, C) with out[b,l,u] =
+    lines[b, l, u + delta[b,l]] (bilinear along the 3rd axis, zeros
+    outside). The per-line fractional shift is two taps of one
+    dynamic-slice — a contiguous-row gather the TPU DMAs efficiently,
+    unlike the per-pixel 2-D gather it replaces."""
+    b, l, s, c = lines.shape
+    padded = jnp.pad(lines, ((0, 0), (0, 0), (pad, pad), (0, 0)))
+    k = jnp.floor(delta)
+    frac = (delta - k)[..., None, None].astype(jnp.float32)
+    start = jnp.clip(k.astype(jnp.int32) + pad, 0, s + 2 * pad - span - 1)
+
+    def one(line, st):
+        return jax.lax.dynamic_slice(line, (st, 0), (span + 1, c))
+
+    sl = jax.vmap(jax.vmap(one))(padded, start).astype(jnp.float32)
+    return sl[:, :, :span] * (1 - frac) + sl[:, :, 1:] * frac
+
+
+def _scale_lines(t: jnp.ndarray, alpha: jnp.ndarray, off: jnp.ndarray,
+                 n_out: int) -> jnp.ndarray:
+    """t (B, L, U, C) -> (B, L, n_out, C): per-sample 1-D resample at
+    positions alpha*x - off via a dense bilinear-hat matrix — one bf16
+    GEMM on the MXU instead of a gather (pixel values <= 255 are exact
+    in bf16; hat weights round within ~1 uint8 level)."""
+    b, l, u, c = t.shape
+    x = jnp.arange(n_out, dtype=jnp.float32)
+    q = alpha[:, None] * x[None, :] - off[:, None]          # (B, n_out)
+    ui = jnp.arange(u, dtype=jnp.float32)
+    hat = jnp.maximum(0.0, 1.0 - jnp.abs(ui[None, :, None] - q[:, None, :]))
+    # bf16 GEMM on the MXU (u8 pixels <= 255 are bf16-exact); the CPU
+    # backend lacks bf16xbf16->f32 dots, so tests run the f32 GEMM
+    gd = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    return jnp.einsum("bluc,bux->blxc", t.astype(gd), hat.astype(gd),
+                      preferred_element_type=jnp.float32)
+
+
+def _two_pass_warp(src: jnp.ndarray, coeffs, h: int, w: int,
+                   bounds) -> jnp.ndarray:
+    """out[b,y,x] = src[b, d x + e y + f, a x + b_ y + c] (bilinear,
+    zeros outside) via the Catmull-Smith two-pass decomposition:
+    horizontal resample tmp[v,x] = src[v, al1 x + be1 v + ga1], then
+    vertical out[y,x] = tmp[e y + (d x + f), x]. Each pass = per-line
+    shift (+ fractional blend) + per-sample scale GEMM. Valid while
+    |e| stays away from 0 (callers split |angle|<=45 / >45 branches)."""
+    a, b_, c, d, e, f = coeffs
+    bsz, hs, ws, ch = src.shape
+    U1, P1, U2, P2 = bounds
+    al1 = (a * e - b_ * d) / e
+    be1 = b_ / e
+    ga1 = c - b_ * f / e
+    off1 = jnp.minimum(0.0, al1 * (w - 1))
+    v = jnp.arange(hs, dtype=jnp.float32)
+    t1 = _line_shift(src, be1[:, None] * v[None, :] + (ga1 + off1)[:, None],
+                     U1, P1)                        # (B, hs, U1, C)
+    tmp = _scale_lines(t1, al1, off1, w)            # (B, hs, w, C)
+    off2 = jnp.minimum(0.0, e * (h - 1))
+    xs = jnp.arange(w, dtype=jnp.float32)
+    cols = tmp.transpose(0, 2, 1, 3)                # (B, w, hs, C)
+    t2 = _line_shift(cols, d[:, None] * xs[None, :] + (f + off2)[:, None],
+                     U2, P2)                        # (B, w, U2, C)
+    out = _scale_lines(t2, e, off2, h)              # (B, w, h, C)
+    return out.transpose(0, 2, 1, 3)                # (B, h, w, C)
+
+
+def _rotate_coeffs(ca, sa, hs, ws, h, w):
+    """Affine (output pixel -> source pixel) for rotate(angle,
+    expand=True) + Resize((h, w)) — the same map rotate_expand_resize_u8
+    evaluates pointwise."""
+    we = jnp.abs(ws * ca) + jnp.abs(hs * sa)
+    he = jnp.abs(ws * sa) + jnp.abs(hs * ca)
+    u0 = 0.5 * we / w - 0.5 - (we - 1) / 2.0
+    v0 = 0.5 * he / h - 0.5 - (he - 1) / 2.0
+    a = ca * we / w
+    b_ = -sa * he / h
+    c = ca * u0 - sa * v0 + (ws - 1) / 2.0
+    d = sa * we / w
+    e = ca * he / h
+    f = sa * u0 + ca * v0 + (hs - 1) / 2.0
+    return a, b_, c, d, e, f
+
+
+def rotate_expand_resize_fast(x: jnp.ndarray,
+                              angles_deg: jnp.ndarray) -> jnp.ndarray:
+    """TPU-native rotate+expand+resize: same map as
+    rotate_expand_resize_u8 but built from contiguous-slice shifts and
+    MXU GEMMs instead of a per-pixel 2-D gather (measured 142.8 fps for
+    the gather warp on v5e — the gathers serialize). Double bilinear
+    (shift then scale) differs from single-pass bilinear by <~1 uint8
+    level on smooth content; angle 0 is exact.
+
+    |angle| <= 45 runs on the source directly; larger angles run on the
+    rot90'd source with the affine re-expressed (xi' = yi,
+    yi' = ws-1-xi), keeping both passes well-conditioned (|e| >= cos45).
+    Both branches are computed and selected per sample.
+    """
+    b, h, w, _ = x.shape
+    a_rad = jnp.deg2rad(angles_deg.astype(jnp.float32))
+    ca, sa = jnp.cos(a_rad), jnp.sin(a_rad)
+
+    cA = _rotate_coeffs(ca, sa, h, w, h, w)
+    bA = _warp_pass_bounds(h, w, h, w, 0.0, 46.0)
+    outA = _two_pass_warp(x, cA, h, w, bA)
+
+    xr = jnp.rot90(x, k=1, axes=(1, 2))             # (B, w, h, C)
+    a2, b2, c2, d2, e2, f2 = cA
+    # src'[i, j] = src[j, ws-1-i]  =>  col' = yi, row' = ws-1-xi
+    cB = (d2, e2, f2, -a2, -b2, (w - 1) - c2)
+    import numpy as _np
+
+    def _boundsB(hs, ws, h_, w_, lo, hi):
+        # same grid evaluation but for the rot90 branch's coefficient
+        # transform; reuse _warp_pass_bounds by evaluating the original
+        # coefficients and mapping them
+        th = _np.deg2rad(_np.concatenate([
+            _np.linspace(lo, hi, 721), _np.linspace(-hi, -lo, 721)]))
+        can, san = _np.cos(th), _np.sin(th)
+        we = _np.abs(w_ * can) + _np.abs(h_ * san)
+        he = _np.abs(w_ * san) + _np.abs(h_ * can)
+        u0 = 0.5 * we / w_ - 0.5 - (we - 1) / 2.0
+        v0 = 0.5 * he / h_ - 0.5 - (he - 1) / 2.0
+        a = can * we / w_
+        bb = -san * he / h_
+        cc = can * u0 - san * v0 + (w_ - 1) / 2.0
+        d = san * we / w_
+        e = can * he / h_
+        ff = san * u0 + can * v0 + (h_ - 1) / 2.0
+        aB, bB, cCB = d, e, ff
+        dB, eB, fB = -a, -bb, (w_ - 1) - cc
+        al1 = (aB * eB - bB * dB) / eB
+        be1 = bB / eB
+        ga1 = cCB - bB * fB / eB
+        off1 = _np.minimum(0.0, al1 * (w_ - 1))
+        U1 = int(_np.ceil(_np.abs(al1 * (w_ - 1)).max())) + 2
+        d1 = _np.concatenate([ga1 + off1, be1 * (hs - 1) + ga1 + off1])
+        P1 = int(_np.ceil(max(-d1.min(), d1.max() + U1 - ws, 1.0))) + 2
+        off2 = _np.minimum(0.0, eB * (h_ - 1))
+        U2 = int(_np.ceil(_np.abs(eB * (h_ - 1)).max())) + 2
+        d2_ = _np.concatenate([fB + off2, dB * (w_ - 1) + fB + off2])
+        P2 = int(_np.ceil(max(-d2_.min(), d2_.max() + U2 - hs, 1.0))) + 2
+        return U1, P1, U2, P2
+
+    bB = _boundsB(w, h, h, w, 44.0, 90.0)
+    outB = _two_pass_warp(xr, cB, h, w, bB)
+
+    out = jnp.where((jnp.abs(angles_deg) <= 45.0)[:, None, None, None],
+                    outA, outB)
+    return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+
+
 def sharpness_u8(x: jnp.ndarray, factor: float = 1.6) -> jnp.ndarray:
     """PIL ImageEnhance.Sharpness on a uint8 batch: blend toward the SMOOTH
     filter (3x3 ((1,1,1),(1,5,1),(1,1,1))/13; the 1-px border stays
@@ -156,13 +342,19 @@ def jitter_u8(x: jnp.ndarray, brightness: jnp.ndarray,
 
 
 def make_device_augment(augmentation_list: Sequence[str] = DEFAULT_AUGS,
-                        dtype=jnp.float32, two_view: bool = False):
+                        dtype=jnp.float32, two_view: bool = False,
+                        rot_impl: str = "two_pass"):
     """Jittable ``(key, uint8 (B,H,W,3)) -> normalized (B,H,W,3) dtype``
     applying the reference's train augmentations in list order
     (transforms.py:52-78 semantics; probabilities per sample).
     ``two_view=True`` returns two independently-augmented views of the
-    same batch (the TERL two-crop protocol) from one uint8 upload."""
+    same batch (the TERL two-crop protocol) from one uint8 upload.
+    ``rot_impl``: "two_pass" (default — shift+GEMM warp, TPU-native) or
+    "gather" (single-pass bilinear reference warp; pathological on TPU:
+    142.8 fps at b=128, docs/BENCH.md round 4)."""
     augs = tuple(augmentation_list)
+    rot_fn = {"two_pass": rotate_expand_resize_fast,
+              "gather": rotate_expand_resize_u8}[rot_impl]
     known = {"original", "vflip", "hflip", "contrast", "rot90",
              "brightness", "jitter"}
     for aug in augs:
@@ -189,7 +381,7 @@ def make_device_augment(augmentation_list: Sequence[str] = DEFAULT_AUGS,
             elif aug == "rot90":
                 ang = jax.random.uniform(sub, (b,), minval=-90.0,
                                          maxval=90.0)
-                x = rotate_expand_resize_u8(x, ang)
+                x = rot_fn(x, ang)
             elif aug == "brightness":
                 m = jax.random.uniform(sub, (b, 1, 1, 1)) < 0.5
                 x = jnp.where(m, sharpness_u8(x), x)

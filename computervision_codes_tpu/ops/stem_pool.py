@@ -100,9 +100,11 @@ def _kernel_grid(xs_ref, w_ref, b_ref, o_ref, *, h2, w2, chunk):
     bias = b_ref[...].astype(jnp.float32)
     nrows = 2 * chunk + 1  # conv rows this chunk contributes to the pool
     # conv row window: s .. s+nrows-1, where s = 2*p0-1 except the first
-    # chunk, which starts at 0 (its row -1 is the zero pool pad)
+    # chunk, which starts at 0 (its row -1 is the zero pool pad).
+    # Explicit lax.dynamic_slice — a mixed [0, pl.ds(...)] ref load
+    # desugars to a gather primitive Mosaic cannot lower.
     s = jnp.maximum(2 * p0 - 1, 0)
-    xs = xs_ref[0, pl.ds(s, nrows + 3)]  # (nrows+3, w2, 12)
+    xs = jax.lax.dynamic_slice_in_dim(xs_ref[0], s, nrows + 3, 0)
     taps = []
     for dy in range(4):
         for dx in range(4):
@@ -116,9 +118,12 @@ def _kernel_grid(xs_ref, w_ref, b_ref, o_ref, *, h2, w2, chunk):
     # padded-conv block P[l] == pooled-coordinate row 2*p0 + l:
     #   j == 0: P = [zero, conv[0 .. nrows-2]]   (zero = conv row -1)
     #   j  > 0: P = conv                          (rows 2p0-1 .. 2p0+2k-1)
-    shifted = jnp.concatenate(
-        [jnp.zeros((1, cw, 64), xs.dtype), conv[:nrows - 1]], axis=0)
-    p = jnp.where(j == 0, shifted, conv)
+    # — one dynamic slice of the zero-prepended buffer instead of a
+    # large predicated select
+    conv_ext = jnp.concatenate(
+        [jnp.zeros((1, cw, 64), xs.dtype), conv], axis=0)
+    p = jax.lax.dynamic_slice_in_dim(
+        conv_ext, jnp.where(j == 0, 0, 1), nrows, 0)
     # zero pool-pad COLUMN; right/bottom need none
     # ((W/2 + 2 - 3)//2 + 1 == W/4 uses cols -1 .. W/2-1 only)
     p = jnp.concatenate([jnp.zeros((nrows, 1, 64), xs.dtype), p], axis=1)

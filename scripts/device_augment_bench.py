@@ -36,14 +36,18 @@ def main():
                            jnp.int32).astype(jnp.float32)
     key = jax.random.PRNGKey(1)
 
-    for augs, label in (
-            (("original",), "normalize only"),
-            (("vflip", "hflip"), "flips"),
-            (("vflip", "hflip", "contrast"), "flips+autocontrast"),
+    for augs, label, rot in (
+            (("original",), "normalize only", "two_pass"),
+            (("vflip", "hflip"), "flips", "two_pass"),
+            (("vflip", "hflip", "contrast"), "flips+autocontrast",
+             "two_pass"),
             (("original", "vflip", "hflip", "contrast", "rot90"),
-             "reference default list"),
+             "reference default list (gather rot)", "gather"),
+            (("original", "vflip", "hflip", "contrast", "rot90"),
+             "reference default list (two-pass rot)", "two_pass"),
+            (("rot90",), "rot90 two-pass alone", "two_pass"),
     ):
-        fn = make_device_augment(augs)
+        fn = make_device_augment(augs, rot_impl=rot)
         s = timed_scan(lambda x: fn(
             key, x.astype(jnp.uint8)).astype(jnp.float32).mean(), (x,))
         fps = b / s

@@ -30,11 +30,16 @@ STAGES = [  # (name, hw, c) at SwinL-384 b=16
 
 
 def timed(fn, args, iters=20):
+    # distinct input per step (eps rotation) so XLA cannot hoist the
+    # loop-invariant kernel out of the scan (docs/BENCH.md methodology)
+    eps = (jax.random.normal(jax.random.PRNGKey(9), (8,)) * 1e-3).astype(
+        args[0].dtype)
+
     @jax.jit
     def loop(*a):
         def step(acc, i):
-            out = fn(*a)
-            return acc + out.astype(jnp.float32).mean() + i * 0.0, None
+            out = fn(a[0] + eps[i % 8], *a[1:])
+            return acc + out.astype(jnp.float32).mean(), None
 
         total, _ = jax.lax.scan(step, jnp.zeros(()), jnp.arange(iters))
         return total

@@ -85,6 +85,38 @@ def test_rotate_close_to_pil_on_smooth_content():
         assert err.mean() < 6.0, (angle, err.mean())
 
 
+def test_rotate_two_pass_matches_gather_interior():
+    """The TPU-native two-pass warp (shift + GEMM; the rot90 default)
+    vs the single-pass gather warp: exact at angle 0, <=1 uint8 level on
+    interior content at every angle; only the rotated black-fill
+    boundary may differ (the fill blend happens twice)."""
+    from computervision_codes_tpu.data.device_augment import (
+        rotate_expand_resize_fast)
+
+    h, w = 40, 64
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    base = 128 + 60 * np.sin(yy / 7.0) + 50 * np.cos(xx / 9.0)
+    img = np.stack([base, base * 0.8, base * 0.6 + 20],
+                   axis=-1).clip(0, 255).astype(np.uint8)
+    x = jnp.asarray(np.stack([img] * 5))
+    angles = jnp.asarray([0.0, 21.0, -44.0, 57.0, -89.0])
+    ref = np.asarray(rotate_expand_resize_u8(x, angles)).astype(np.float32)
+    got = np.asarray(rotate_expand_resize_fast(x, angles)).astype(np.float32)
+    np.testing.assert_array_equal(got[0], ref[0])  # angle 0 exact
+    from scipy import ndimage
+
+    for i in range(1, 5):
+        nz = ref[i].sum(-1) > 10
+        # erode the content mask (drops the fill-boundary band) and the
+        # output frame (edge taps clamp differently between the paths)
+        interior = ndimage.binary_erosion(nz, iterations=3)
+        interior[:2] = interior[-2:] = False
+        interior[:, :2] = interior[:, -2:] = False
+        d = np.abs(ref[i] - got[i])[interior]
+        assert d.max() <= 2.0, (i, d.max())
+        assert d.mean() < 0.5, (i, d.mean())
+
+
 def test_make_device_augment_flip_semantics(rng):
     """With augs=('vflip',): every sample equals the normalized original or
     its vertical flip; both branches occur at roughly p=0.4."""
