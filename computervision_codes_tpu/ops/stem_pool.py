@@ -83,10 +83,9 @@ def _kernel_single(xs_ref, w_ref, b_ref, o_ref, *, h2, w2, pool_rows):
     p = jnp.concatenate([jnp.zeros((rows + 1, 1, 64), xs.dtype), p], axis=1)
     body = p[:2 * pool_rows].reshape(pool_rows, 2, cw + 1, 64)
     pair = jnp.maximum(body[:, 0], body[:, 1])
-    if pool_rows == 1:  # p[2::2] would be zero-size — Mosaic rejects
-        third = p[2:3]
-    else:
-        third = p[2:2 * pool_rows + 1:2]
+    # rows 2l+2 without a strided slice (Mosaic lowers stride-2 row
+    # slices as a gather it cannot handle): odd half of p[1:]
+    third = p[1:2 * pool_rows + 1].reshape(pool_rows, 2, cw + 1, 64)[:, 1]
     rowp = jnp.maximum(pair, third)  # (pool_rows, cw+1, 64)
     o_ref[0] = _pool_cols(rowp, pool_rows, cw, pw, xs.dtype)
 
@@ -101,10 +100,13 @@ def _kernel_grid(xs_ref, w_ref, b_ref, o_ref, *, h2, w2, chunk):
     nrows = 2 * chunk + 1  # conv rows this chunk contributes to the pool
     # conv row window: s .. s+nrows-1, where s = 2*p0-1 except the first
     # chunk, which starts at 0 (its row -1 is the zero pool pad).
-    # Explicit lax.dynamic_slice — a mixed [0, pl.ds(...)] ref load
-    # desugars to a gather primitive Mosaic cannot lower.
+    # Indexing form matters to Mosaic: a mixed [0, pl.ds(...)] ref load
+    # desugars to a gather it cannot lower, and value-level
+    # lax.dynamic_slice is an unimplemented primitive — a full-slice on
+    # the leading dim ([:, pl.ds(...)]) lowers to a plain dynamic ref
+    # load (probed on-chip).
     s = jnp.maximum(2 * p0 - 1, 0)
-    xs = jax.lax.dynamic_slice_in_dim(xs_ref[0], s, nrows + 3, 0)
+    xs = xs_ref[:, pl.ds(s, nrows + 3)][0]
     taps = []
     for dy in range(4):
         for dx in range(4):
@@ -118,18 +120,18 @@ def _kernel_grid(xs_ref, w_ref, b_ref, o_ref, *, h2, w2, chunk):
     # padded-conv block P[l] == pooled-coordinate row 2*p0 + l:
     #   j == 0: P = [zero, conv[0 .. nrows-2]]   (zero = conv row -1)
     #   j  > 0: P = conv                          (rows 2p0-1 .. 2p0+2k-1)
-    # — one dynamic slice of the zero-prepended buffer instead of a
-    # large predicated select
-    conv_ext = jnp.concatenate(
-        [jnp.zeros((1, cw, 64), xs.dtype), conv], axis=0)
-    p = jax.lax.dynamic_slice_in_dim(
-        conv_ext, jnp.where(j == 0, 0, 1), nrows, 0)
+    # — predicated select (value-level dynamic_slice does not lower on
+    # Mosaic; the select is one VPU pass over the chunk)
+    shifted = jnp.concatenate(
+        [jnp.zeros((1, cw, 64), xs.dtype), conv[:-1]], axis=0)
+    p = jnp.where(j == 0, shifted, conv)
     # zero pool-pad COLUMN; right/bottom need none
     # ((W/2 + 2 - 3)//2 + 1 == W/4 uses cols -1 .. W/2-1 only)
     p = jnp.concatenate([jnp.zeros((nrows, 1, 64), xs.dtype), p], axis=1)
     body = p[:2 * chunk].reshape(chunk, 2, cw + 1, 64)
     pair = jnp.maximum(body[:, 0], body[:, 1])   # P rows 2l, 2l+1
-    third = p[2:2 * chunk + 1:2]                 # P rows 2l+2
+    # P rows 2l+2, stride-2-free (see _kernel_single)
+    third = p[1:2 * chunk + 1].reshape(chunk, 2, cw + 1, 64)[:, 1]
     rowp = jnp.maximum(pair, third)              # (chunk, cw+1, 64)
     o_ref[0] = _pool_cols(rowp, chunk, cw, pw, xs.dtype)
 
@@ -148,6 +150,27 @@ def stem_pool_fused(x, w, bias, chunk: int | None = None):
     w (7, 7, 3, 64) BN-folded stem kernel; bias (64,).
     Returns (B, H/4, W/4, 64) == maxpool3x3/s2/p1(relu(conv7x7/s2/p3 + b)).
     """
+    # Mosaic's scoped-VMEM accounting jumps past the 16 MiB stack once the
+    # batch grid axis grows (B<=8 compiles at 256x448, B>=32 allocates
+    # ~27.5M regardless of row chunk or dimension_semantics — measured
+    # on-chip). The grid serializes over batch anyway, so split the batch
+    # host-side and lax.map the bounded-call; exact and allocation-safe.
+    b = x.shape[0]
+    if b > 8:
+        split = _pick_chunk(b, 8)
+        if split == 1:  # pathological (prime) batch: pad to a divisor
+            pad = (-b) % 8
+            xp = jnp.concatenate([x, jnp.zeros((pad, *x.shape[1:]),
+                                               x.dtype)], axis=0)
+            return stem_pool_fused(xp, w, bias, chunk=chunk)[:b]
+        xs = x.reshape(b // split, split, *x.shape[1:])
+        out = jax.lax.map(
+            lambda xc: _stem_pool_call(xc, w, bias, chunk=chunk), xs)
+        return out.reshape(b, *out.shape[2:])
+    return _stem_pool_call(x, w, bias, chunk=chunk)
+
+
+def _stem_pool_call(x, w, bias, chunk: int | None = None):
     b, h, wd, c = x.shape
     if h % 4 or wd % 4:
         raise ValueError(f"fused stem needs H, W divisible by 4, got "
