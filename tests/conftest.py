@@ -13,6 +13,10 @@ process can hold the TPU tunnel at a time and concurrent users deadlock.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Empty pool-IP list disables the sitecustomize axon auto-registration —
+# required both for correctness here and so __graft_entry__._route_in_process
+# accepts this env as a proven in-process CPU mesh.
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
