@@ -173,6 +173,30 @@ def evaluate_videos(run_batch, dataset: CholecDataset, videos: Sequence[str],
     return feats_out
 
 
+# Which reference drivers HARDCODE the challenge protocol (ignore_null=True)
+# for their printed AP tables vs derive it from the dataset-variant name.
+# Checkpoint SELECTION always uses compute_video_AP() defaults
+# (ignore_null=False) in every reference driver (weight_mgt call sites).
+REFERENCE_CHALLENGE_PROTOCOL = {
+    # variant-derived: True iff "challenge" in dataset_variant
+    "spatial_cnn": None,          # MT4MTLKD/Spatial_cnn/run.py:122
+    "temporal_mstct": None,       # MT4MTLKD/Temporal_mstct/run.py:119
+    "temporal_tenco": None,       # MT4MTLKD/Temporal_tenco/run.py:131
+    # hardcoded True
+    "spatial_transformer": True,  # variant-derived at run.py:127 but
+    # unconditionally OVERWRITTEN right before the run loop
+    # (MT4MTLKD/Spatial_transformer/run.py:421, test.py:335)
+    "terl_learnt": True,          # TERL/6_baseline_learnT/run.py:160
+    "tcn_black": True,            # TERL/0_5fold_TCN_black/run.py:142
+}
+
+
+def ignore_null_protocol(stage: str, dataset_variant: str) -> bool:
+    """The ignore_null setting the reference stage uses for its AP tables."""
+    fixed = REFERENCE_CHALLENGE_PROTOCOL[stage]
+    return fixed if fixed is not None else "challenge" in dataset_variant
+
+
 def compute_map_table(metrics: Dict[str, Recognition], loss_type: str,
                       ignore_null: bool) -> Dict[str, Dict]:
     """Reference metric selection (Spatial_cnn/run.py:518-529): single-task

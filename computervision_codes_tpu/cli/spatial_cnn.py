@@ -117,7 +117,8 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
         return probs, feats
 
     metrics = common.make_metrics()
-    set_chlg = "challenge" in flags.dataset_variant
+    set_chlg = common.ignore_null_protocol("spatial_cnn",
+                                           flags.dataset_variant)
     logger.run_header("spatial_cnn", modelname, flags.version, flags.batch,
                       f"peak {flags.initial_learning_rates} warmup "
                       f"{flags.warmups} decay {flags.decay_rate}")

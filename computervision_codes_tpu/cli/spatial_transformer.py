@@ -172,7 +172,8 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
         return val_step(state, jnp.asarray(images))
 
     metrics = common.make_metrics()
-    set_chlg = "challenge" in flags.dataset_variant
+    set_chlg = common.ignore_null_protocol("spatial_transformer",
+                                           flags.dataset_variant)
     logger.run_header("spatial_transformer", modelname, flags.version,
                       flags.batch, f"backbone {flags.backbone}")
     result = {}

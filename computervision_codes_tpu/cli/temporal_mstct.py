@@ -248,7 +248,8 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
         metric.reset_global()
         run_eval(split.test, metric)
         res = metric.compute_video_AP(
-            ignore_null="challenge" in flags.dataset_variant)
+            ignore_null=common.ignore_null_protocol(
+                "temporal_mstct", flags.dataset_variant))
         logger.log(f"test mAP[{task}]: {res['mAP']:.5f}")
         result["test_mAP"] = res["mAP"]
         print(f"test mAP[{task}]:", round(res["mAP"], 4))

@@ -67,8 +67,28 @@ def parse_flags(argv: Optional[Sequence[str]] = None):
     p.add_argument("--train_div", type=float, default=1.0,
                    help="train on 1/div of the videos per epoch")
     p.add_argument("--comp_weight", type=float, default=0.1)
+    p.add_argument("--weight_source", choices=["sampling", "balancing"],
+                   default="sampling",
+                   help="i/v/t BCE pos-weights: 'sampling' = the constant "
+                        "sampling-average weights the reference actually "
+                        "trains with (0_5fold_TCN_black/run.py:432-435); "
+                        "'balancing' = the per-variant/per-fold "
+                        "get_weight_balancing tables the reference defines "
+                        "but leaves unwired (run.py:168-265)")
     flags, _ = p.parse_known_args(argv)
     return flags
+
+
+def challenge_protocol(dedup_black: bool, dataset_variant: str) -> bool:
+    """ignore_null protocol for the eval tables, per driver mode.
+
+    TCN_black mode (--dedup_black) hardcodes the challenge protocol —
+    the reference sets ``set_chlg_eval = True`` unconditionally
+    (TERL/0_5fold_TCN_black/run.py:142) — while tenco mode derives it
+    from the dataset-variant name (MT4MTLKD/Temporal_tenco/run.py:131).
+    """
+    return common.ignore_null_protocol(
+        "tcn_black" if dedup_black else "temporal_tenco", dataset_variant)
 
 
 def make_loss_type_train_step(model, loss_type: str, comp_weight: float,
@@ -141,8 +161,16 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
     state = create_train_state(model, tx, rng_key, (example,))
     state = common.maybe_resume(flags, ckpt, state, logger)
 
-    pos_weights = {"i": TOOL_POS_WEIGHT, "v": VERB_POS_WEIGHT,
-                   "t": TARGET_POS_WEIGHT}
+    if flags.weight_source == "balancing":
+        from ..data.class_weights import weight_balancing
+
+        wb = weight_balancing(flags.dataset_variant, flags.kfold)
+        pos_weights = {"i": np.asarray(wb["tool"], np.float32),
+                       "v": np.asarray(wb["verb"], np.float32),
+                       "t": np.asarray(wb["target"], np.float32)}
+    else:
+        pos_weights = {"i": TOOL_POS_WEIGHT, "v": VERB_POS_WEIGHT,
+                       "t": TARGET_POS_WEIGHT}
     train_step = make_loss_type_train_step(model, flags.loss_type,
                                            flags.comp_weight, pos_weights)
     eval_step = make_tcn_eval_step(model)
@@ -162,7 +190,7 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
                 m.video_end()
 
     metrics = common.make_metrics()
-    set_chlg = "challenge" in flags.dataset_variant
+    set_chlg = challenge_protocol(flags.dedup_black, flags.dataset_variant)
     logger.run_header("temporal_tcn", modelname, flags.version, 1,
                       f"peak {flags.initial_learning_rates[2]} warmup "
                       f"{flags.warmups[2]} decay {flags.decay_rate}")

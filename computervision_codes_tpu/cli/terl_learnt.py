@@ -203,7 +203,8 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
         return probs, feats
 
     metrics = common.make_metrics()
-    set_chlg = "challenge" in flags.dataset_variant
+    set_chlg = common.ignore_null_protocol("terl_learnt",
+                                           flags.dataset_variant)
     logger.run_header("terl_learnt", modelname, flags.version, flags.batch,
                       f"backbone {flags.backbone} mocoK {flags.moco_k}")
     result = {}

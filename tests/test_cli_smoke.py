@@ -155,3 +155,26 @@ def test_prefetch_to_device(rng):
     out = list(prefetch_to_device(iter(batches), depth=2))
     assert len(out) == 5
     np.testing.assert_allclose(np.asarray(out[3]["x"]), batches[3]["x"])
+
+
+def test_ignore_null_protocol_matches_reference():
+    """Each driver stage's eval-table ignore_null vs the reference's
+    set_chlg_eval (VERDICT r4 weak #5): TCN_black and learnT hardcode the
+    challenge protocol (TERL/0_5fold_TCN_black/run.py:142,
+    TERL/6_baseline_learnT/run.py:160); the teacher derives it then
+    overwrites it to True (Spatial_transformer/run.py:421); the other
+    MT4MTLKD stages derive it from the dataset-variant name."""
+    from computervision_codes_tpu.cli import temporal_tcn
+    from computervision_codes_tpu.cli.common import ignore_null_protocol
+
+    for variant, derived in (("cholect45-crossval", False),
+                             ("cholect50-challenge", True)):
+        # variant-derived stages
+        for stage in ("spatial_cnn", "temporal_mstct", "temporal_tenco"):
+            assert ignore_null_protocol(stage, variant) is derived, stage
+        # hardcoded-True stages
+        for stage in ("spatial_transformer", "terl_learnt", "tcn_black"):
+            assert ignore_null_protocol(stage, variant) is True, stage
+        # the unified TCN driver's two modes
+        assert temporal_tcn.challenge_protocol(True, variant) is True
+        assert temporal_tcn.challenge_protocol(False, variant) is derived
