@@ -158,7 +158,10 @@ def stem_pool_fused(x, w, bias, chunk: int | None = None):
     b = x.shape[0]
     if b > 8:
         split = _pick_chunk(b, 8)
-        if split == 1:  # pathological (prime) batch: pad to a divisor
+        if split < 4:  # few usable divisors (prime, or e.g. 22 -> 2):
+            # pad to the next multiple of 8 — 1-7 wasted frames beat a
+            # long chain of tiny sequential pallas_calls. split < 4
+            # implies b % 4 != 0, so pad > 0 and the recursion ends.
             pad = (-b) % 8
             xp = jnp.concatenate([x, jnp.zeros((pad, *x.shape[1:]),
                                                x.dtype)], axis=0)

@@ -628,6 +628,16 @@ def test_stem_pool_fused_matches_reference(rng):
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32), atol=0.05)
 
+    # B > 8 host-side split paths: B=16 takes the clean split=8 lax.map
+    # branch, B=10 the small-divisor map branch (split=5), and B=9/11/22
+    # (best divisors 3/1/2, all < 4) the pad-to-multiple-of-8 branch.
+    for b in (9, 10, 11, 16, 22):
+        x = jnp.asarray(rng.standard_normal((b, 16, 16, 3)), jnp.float32)
+        want = stem_pool_reference(x, w, bias)
+        got = stem_pool_fused(x, w, bias)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, err_msg=f"B={b}")
+
     import pytest
 
     with pytest.raises(ValueError):
