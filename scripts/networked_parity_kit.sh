@@ -25,7 +25,12 @@ cd "$(dirname "$0")/.."
 export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 
 SMOKE=0
-if [ "${1:-}" = "--smoke" ]; then SMOKE=1; shift || true; fi
+if [ "${1:-}" = "--smoke" ]; then
+  SMOKE=1; shift || true
+  # the whole smoke is host-side: force CPU so no stage contends for the
+  # single-process TPU tunnel (CLAUDE.md) — not just stage 4
+  export PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu
+fi
 FOLD=${2:-1}
 EPOCHS=${3:-100}
 PRETRAIN_ROOT=${PRETRAIN_ROOT:-./Pretrain}
