@@ -349,9 +349,12 @@ def make_device_augment(augmentation_list: Sequence[str] = DEFAULT_AUGS,
     (transforms.py:52-78 semantics; probabilities per sample).
     ``two_view=True`` returns two independently-augmented views of the
     same batch (the TERL two-crop protocol) from one uint8 upload.
-    ``rot_impl``: "two_pass" (default — shift+GEMM warp, TPU-native) or
-    "gather" (single-pass bilinear reference warp; pathological on TPU:
-    142.8 fps at b=128, docs/BENCH.md round 4)."""
+    ``rot_impl``: "two_pass" (default — shift+GEMM warp, TPU-native;
+    271.6 fps for the full reference list at b=128) or "gather"
+    (single-pass bilinear reference warp; pathological on TPU: 142.8
+    fps). Measured side by side on-chip round 5 (docs/BENCH.md): the
+    two-pass warp doubles the gather but rotation-bearing lists still
+    belong host-side; flip/contrast lists are free (68k+ fps)."""
     augs = tuple(augmentation_list)
     rot_fn = {"two_pass": rotate_expand_resize_fast,
               "gather": rotate_expand_resize_u8}[rot_impl]
