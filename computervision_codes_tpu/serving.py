@@ -531,8 +531,9 @@ class TeacherSession:
     config — in-kernel int8 GEMMs inside the fused Swin kernels
     (``Q2L(quant_eval=True)``) stacked with int8 interception of the
     remaining dense layers (decoder FFN-8192, stage-4 attention, patch
-    merges): 420.7 vs 365 fps/chip on SwinL-384 (docs/BENCH.md); trained-
-    checkpoint mAP unchanged (scripts/int8_teacher_accuracy.py).
+    merges): 385 vs 342 fps/chip on SwinL-384 (round-5 re-measure,
+    docs/BENCH.md headline table); trained-checkpoint mAP unchanged
+    (scripts/int8_teacher_accuracy.py).
     """
 
     compiled: object
